@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator family from SURVEY.md §2
+through the engine's own operator modules (go_data_publisher_spark.*), over
+the driver-provided tables (events / documents / embeddings — mapping per
+FIXTURES.md §4: user_id ↔ conv-key, event_id ↔ LSN, event_type ↔ op).
+``oracle_sql()`` holds the DuckDB-equivalent ANSI SQL; column names and
+types are aligned pair-by-pair (ints cast to BIGINT, doubles rounded).
+
+Entries without an oracle (engine-internal state, LSH candidates whose hash
+family has no DuckDB twin) get the driver's weaker rows-only check and are
+covered by dedicated pytest oracles instead (tests/).
 """
 
 from __future__ import annotations
@@ -12,27 +17,578 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from go_data_publisher_spark.operators import aggregates as A
+from go_data_publisher_spark.operators import dedup as D
+from go_data_publisher_spark.operators import routing as R
+from go_data_publisher_spark.operators import sequencing as Q
+from go_data_publisher_spark.operators import similarity as S
+from go_data_publisher_spark.operators import textdedup as TD
+from go_data_publisher_spark.operators import verify as V
+from go_data_publisher_spark.functions import text as TX
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _as_changelog(events: DataFrame) -> DataFrame:
+    """Map the driver's events table onto the CDC envelope (FIXTURES.md §4):
+    lsn=event_id, conv key=user_id, turn_idx=event_id%16,
+    op: signup→I, error→D, else U; text=props."""
+    return events.select(
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+        F.col("user_id").alias("conv_id"),
+        F.pmod(F.col("event_id"), F.lit(16)).cast("long").alias("turn_idx"),
+        F.col("props").alias("text"),
+        F.col("value"),
+    )
+
+
+_CHANGELOG_SQL = """
+  SELECT event_id AS lsn,
+         CASE WHEN event_type = 'signup' THEN 'I'
+              WHEN event_type = 'error'  THEN 'D'
+              ELSE 'U' END AS op,
+         user_id AS conv_id,
+         event_id % 16 AS turn_idx,
+         props AS text,
+         value
+  FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# CDC core (D1/D4): final state after full replay — the flagship
+# ---------------------------------------------------------------------------
+
+def q_cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    log = _as_changelog(_t(spark, sf_dir, "events"))
+    winners = D.last_wins(log, key=("conv_id", "turn_idx"), order=("lsn",))
+    return winners.where(F.col("op") != "D").select(
+        "conv_id",
+        "turn_idx",
+        F.col("lsn").alias("last_lsn"),
+        F.col("text").alias("text"),
+        F.round("value", 2).alias("last_value"),
+    )
+
+
+SQL_CDC_FINAL_STATE = f"""
+  WITH log AS ({_CHANGELOG_SQL}),
+  ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY conv_id, turn_idx
+        ORDER BY lsn DESC, CASE op WHEN 'D' THEN 3 WHEN 'U' THEN 2 ELSE 1 END DESC
+    ) AS rn
+    FROM log
+  )
+  SELECT conv_id, turn_idx, lsn AS last_lsn, text, round(value, 2) AS last_value
+  FROM ranked WHERE rn = 1 AND op <> 'D'
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup / aggregation family
+# ---------------------------------------------------------------------------
+
+def q_latest_per_group(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return A.latest_per_group(
+        ev, ["user_id"], "event_id", payload_cols=["event_id", "event_type"]
+    ).select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_type"),
+    )
+
+
+SQL_LATEST_PER_GROUP = """
+  SELECT user_id, event_id AS last_event_id, event_type AS last_type
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+        FROM events) WHERE rn = 1
+"""
+
+
+def q_count_per_key(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+SQL_COUNT_PER_KEY = """
+  SELECT user_id, count(*) AS n_rows, round(sum(value), 2) AS sum_value
+  FROM events GROUP BY user_id
+"""
+
+
+def q_last_per_epoch(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "epoch", F.floor(F.col("event_id") / 1000)
+    )
+    return A.last_per_epoch(ev, "epoch", "event_id").select(
+        "epoch", F.col("last_lsn").alias("last_event_id")
+    )
+
+
+SQL_LAST_PER_EPOCH = """
+  SELECT event_id // 1000 AS epoch, max(event_id) AS last_event_id
+  FROM events GROUP BY 1
+"""
+
+
+def q_content_hash(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    h = F.sha2(F.concat_ws("|", F.col("event_type"), F.col("props")), 256)
+    return ev.groupBy("user_id").agg(F.countDistinct(h).alias("n_distinct_checksums"))
+
+
+SQL_CONTENT_HASH = """
+  SELECT user_id,
+         count(DISTINCT sha256(event_type || '|' || props)) AS n_distinct_checksums
+  FROM events GROUP BY user_id
+"""
+
+
+def q_read_before_write(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    batch = ev.where("event_id > 8000")
+    target = ev.where("event_id <= 8000")
+    return D.drop_already_present(batch, target, on=["user_id", "event_type"]).select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+SQL_READ_BEFORE_WRITE = """
+  SELECT b.event_id, b.user_id, b.event_type
+  FROM events b
+  WHERE b.event_id > 8000
+    AND NOT EXISTS (SELECT 1 FROM events t
+                    WHERE t.event_id <= 8000
+                      AND t.user_id = b.user_id AND t.event_type = b.event_type)
+"""
+
+
+# ---------------------------------------------------------------------------
+# sequencing family (Q1/Q3/Q5/Q6/Q7/Q8/Q9)
+# ---------------------------------------------------------------------------
+
+def q_next_range(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return Q.next_range(ev, "event_id", cursor=2000, head=7000).select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+SQL_NEXT_RANGE = """
+  SELECT event_id, user_id, event_type FROM events
+  WHERE event_id > 2000 AND event_id <= 7000
+"""
+
+
+def q_unprocessed_suffix(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn("epoch", F.floor(F.col("event_id") / 1000))
+    return Q.unprocessed_suffix(ev, "epoch", 5).groupBy("epoch").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+SQL_UNPROCESSED_SUFFIX = """
+  SELECT event_id // 1000 AS epoch, count(*) AS n_events
+  FROM events WHERE event_id // 1000 > 5 GROUP BY 1
+"""
+
+
+def q_gap_detection(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return Q.detect_gaps(ev, ["user_id"], "event_id", min_gap=500)
+
+
+SQL_GAP_DETECTION = """
+  SELECT user_id, prev + 1 AS gap_from, event_id - 1 AS gap_to
+  FROM (SELECT user_id, event_id,
+               lag(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+        FROM events)
+  WHERE prev IS NOT NULL AND event_id - prev > 500
+"""
+
+
+def q_range_join(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    intervals = Q.group_intervals(ev, ["user_id"], "event_id").select(
+        F.col("user_id").alias("iv_user"), "from_lsn", "to_lsn"
+    )
+    joined = ev.join(
+        F.broadcast(intervals),
+        (ev.event_id >= intervals.from_lsn) & (ev.event_id <= intervals.to_lsn),
+    )
+    return joined.groupBy("event_id").agg(F.count(F.lit(1)).alias("n_containing"))
+
+
+SQL_RANGE_JOIN = """
+  WITH iv AS (SELECT user_id, min(event_id) lo, max(event_id) hi
+              FROM events GROUP BY user_id)
+  SELECT e.event_id, count(*) AS n_containing
+  FROM events e JOIN iv ON e.event_id BETWEEN iv.lo AND iv.hi
+  GROUP BY e.event_id
+"""
+
+
+def q_monotonicity(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.orderBy("event_id")
+    return (
+        ev.select("event_id", "ts")
+        .withColumn("__prev", F.lag("ts").over(w))
+        .agg(
+            F.sum(
+                F.when(F.col("__prev").isNotNull() & (F.col("ts") < F.col("__prev")), 1).otherwise(0)
+            ).cast("long").alias("n_violations")
+        )
+    )
+
+
+SQL_MONOTONICITY = """
+  SELECT CAST(coalesce(sum(CASE WHEN prev IS NOT NULL AND ts < prev THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_violations
+  FROM (SELECT ts, lag(ts) OVER (ORDER BY event_id) AS prev FROM events)
+"""
+
+
+def q_interval_trim(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn("epoch", F.floor(F.col("event_id") / 1000))
+    iv = Q.group_intervals(ev, ["user_id", "epoch"], "event_id").drop("n_rows")
+    return Q.trim_to_cursor(iv, cursor=8000)
+
+
+SQL_INTERVAL_TRIM = """
+  SELECT user_id, event_id // 1000 AS epoch,
+         min(event_id) AS from_lsn,
+         least(max(event_id), 8000) AS to_lsn
+  FROM events GROUP BY 1, 2
+  HAVING min(event_id) <= 8000
+"""
+
+
+# ---------------------------------------------------------------------------
+# routing / filtering family (F1/F3)
+# ---------------------------------------------------------------------------
+
+def q_route_filter(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    kept = ev.where(F.col("event_type") != "error")  # F1: drop "empty" rows
+    routed = R.route_ephemeral(
+        kept, F.col("event_type").isin("view", "click") & (F.col("value") < 5)
+    )
+    return routed.select("event_id", "sink")
+
+
+SQL_ROUTE_FILTER = """
+  SELECT event_id,
+         CASE WHEN event_type IN ('view','click') AND value < 5
+              THEN 'ephemeral' ELSE 'permanent' END AS sink
+  FROM events WHERE event_type <> 'error'
+"""
+
+
+# ---------------------------------------------------------------------------
+# verification family (V1/V5)
+# ---------------------------------------------------------------------------
+
+def q_set_difference(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    a = ev.where("event_type = 'purchase'").select("user_id")
+    b = ev.where("event_type = 'signup'").select("user_id")
+    return V.set_difference(a, b, ["user_id"])
+
+
+SQL_SET_DIFFERENCE = """
+  WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+       b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup')
+  SELECT user_id, 'only_left' AS side FROM a WHERE user_id NOT IN (SELECT user_id FROM b)
+  UNION ALL
+  SELECT user_id, 'only_right' AS side FROM b WHERE user_id NOT IN (SELECT user_id FROM a)
+"""
+
+
+def q_count_equality(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).cast("long").alias("n_clicks"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).cast("long").alias("n_views"),
+    )
+    return per_user.where(F.col("n_clicks") != F.col("n_views"))
+
+
+SQL_COUNT_EQUALITY = """
+  SELECT user_id,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_views
+  FROM events GROUP BY user_id
+  HAVING sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      <> sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+"""
+
+
+# ---------------------------------------------------------------------------
+# documents: dedup + text analysis
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return TD.exact_duplicates(docs).select("content_hash", "canonical_id", "n_docs")
+
+
+SQL_DEDUP_EXACT_DOCS = """
+  SELECT sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,
+         min(doc_id) AS canonical_id, count(*) AS n_docs
+  FROM documents GROUP BY 1
+"""
+
+
+def q_docs_token_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    n_tokens = TX.whitespace_token_count(F.col("text")).cast("long")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_real"),
+        n_tokens.alias("n_tokens"),
+        F.round(F.length("text") / n_tokens, 4).alias("avg_token_len"),
+    )
+
+
+SQL_DOCS_TOKEN_STATS = """
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars_real,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         round(length(text) / len(regexp_split_to_array(trim(text), '\\s+')), 4) AS avg_token_len
+  FROM documents
+"""
+
+
+def q_docs_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.substring(F.md5(F.lower(F.col("text"))), 1, 16).alias("fp16")
+    )
+
+
+SQL_DOCS_FINGERPRINT = """
+  SELECT doc_id, substr(md5(lower(text)), 1, 16) AS fp16 FROM documents
+"""
+
+
+def q_docs_lang_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+    )
+
+
+SQL_DOCS_LANG_STATS = """
+  SELECT lang, count(*) AS n_docs, round(avg(n_chars), 2) AS avg_chars
+  FROM documents GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# embeddings: similarity search
+# ---------------------------------------------------------------------------
+
+def _query_vec(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.where("vec_id = 0").first()["embedding"]
+
+
+def q_emb_cosine_scores(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    return emb.select(
+        "vec_id",
+        F.round(S.cosine_to_query(F.col("embedding"), q), 3).alias("cosine_r3"),
+    )
+
+
+SQL_EMB_COSINE_SCORES = """
+  SELECT e.vec_id,
+         round(list_dot_product(e.embedding, q.embedding) /
+               (sqrt(list_dot_product(e.embedding, e.embedding)) *
+                sqrt(list_dot_product(q.embedding, q.embedding))), 3) AS cosine_r3
+  FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+"""
+
+
+def q_emb_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    top = S.brute_force_topk(emb, q, k=10)
+    return top.select("vec_id", F.round("cosine", 3).alias("cosine_r3"))
+
+
+SQL_EMB_TOPK = """
+  SELECT vec_id, round(cosine, 3) AS cosine_r3
+  FROM (
+    SELECT e.vec_id,
+           list_dot_product(e.embedding, q.embedding) /
+           (sqrt(list_dot_product(e.embedding, e.embedding)) *
+            sqrt(list_dot_product(q.embedding, q.embedding))) AS cosine
+    FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+  ) ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# engine-internal / non-SQL entries (rows-only driver check; pytest oracles)
+# ---------------------------------------------------------------------------
+
+def q_minhash_pairs_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return TD.minhash_lsh_pairs(docs, n_hashes=16, n_bands=4, verify_threshold=0.4)
+
+
+def q_simhash_pairs_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return TD.simhash_near_duplicates(docs, max_hamming=6)
+
+
+def q_docs_lang_id_udf(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.lang_id(F.col("text")).alias("lang_guess"))
+
+
+def q_docs_quality_udf(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.round(TX.quality_score(F.col("text")), 4).alias("quality"))
+
+
+def q_emb_ann_lsh(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    top = S.ann_topk_lsh(emb, q, k=10, n_planes=6, multiprobe_hamming=1)
+    return top.select("vec_id", F.round("cosine", 3).alias("cosine_r3"))
+
+
+def q_cdc_engine_replay(spark, sf_dir):
+    """The full engine end-to-end: events→changelog, chunked batch replay
+    through the bucketed MERGE table, return the final snapshot."""
+    import tempfile
+
+    from go_data_publisher_spark.lake.table import TranscriptTable
+    from go_data_publisher_spark.streaming.apply import ChangeApplier
+    from pyspark.sql import types as T
+
+    log = _as_changelog(_t(spark, sf_dir, "events")).select(
+        "lsn", "op", F.col("conv_id").cast("string").alias("conv_id"),
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"), "text",
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.lit(1).alias("schema_version"),
+    )
+    root = tempfile.mkdtemp(prefix="cdc_entry_")
+    tbl = TranscriptTable(spark, f"{root}/tbl", n_buckets=8)
+    app = ChangeApplier(tbl)
+    lo, hi = log.agg(F.min("lsn"), F.max("lsn")).first()
+    n_chunks = 4
+    span = (hi - lo) // n_chunks + 1
+    for i in range(n_chunks):
+        batch = log.where(F.col("lsn").between(lo + i * span, min(hi, lo + (i + 1) * span - 1)))
+        app.apply_batch(batch, epoch_id=i)
+    return tbl.snapshot().select("conv_id", "turn_idx", "text", F.col("lsn").alias("last_lsn"))
+
+
+SQL_CDC_ENGINE_REPLAY = f"""
+  WITH log AS ({_CHANGELOG_SQL}),
+  ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY conv_id, turn_idx
+        ORDER BY lsn DESC, CASE op WHEN 'D' THEN 3 WHEN 'U' THEN 2 ELSE 1 END DESC
+    ) AS rn
+    FROM log
+  )
+  SELECT CAST(conv_id AS VARCHAR) AS conv_id, CAST(turn_idx AS INT) AS turn_idx,
+         text, lsn AS last_lsn
+  FROM ranked WHERE rn = 1 AND op <> 'D'
+"""
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: CDC final state over sf0.001 (driver checks rows > 0)."""
+    return q_cdc_final_state(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "cdc_final_state": q_cdc_final_state,
+        "cdc_engine_replay": q_cdc_engine_replay,
+        "latest_per_group": q_latest_per_group,
+        "count_per_key": q_count_per_key,
+        "last_per_epoch": q_last_per_epoch,
+        "content_hash": q_content_hash,
+        "read_before_write": q_read_before_write,
+        "next_range": q_next_range,
+        "unprocessed_suffix": q_unprocessed_suffix,
+        "gap_detection": q_gap_detection,
+        "range_join": q_range_join,
+        "monotonicity": q_monotonicity,
+        "interval_trim": q_interval_trim,
+        "route_filter": q_route_filter,
+        "set_difference": q_set_difference,
+        "count_equality": q_count_equality,
+        "dedup_exact_docs": q_dedup_exact_docs,
+        "docs_token_stats": q_docs_token_stats,
+        "docs_fingerprint": q_docs_fingerprint,
+        "docs_lang_stats": q_docs_lang_stats,
+        "emb_cosine_scores": q_emb_cosine_scores,
+        "emb_topk": q_emb_topk,
+        # rows-only (non-SQL-expressible hash families / engine state / UDFs)
+        "minhash_pairs_docs": q_minhash_pairs_docs,
+        "simhash_pairs_docs": q_simhash_pairs_docs,
+        "docs_lang_id_udf": q_docs_lang_id_udf,
+        "docs_quality_udf": q_docs_quality_udf,
+        "emb_ann_lsh": q_emb_ann_lsh,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "cdc_final_state": SQL_CDC_FINAL_STATE,
+        "cdc_engine_replay": SQL_CDC_ENGINE_REPLAY,
+        "latest_per_group": SQL_LATEST_PER_GROUP,
+        "count_per_key": SQL_COUNT_PER_KEY,
+        "last_per_epoch": SQL_LAST_PER_EPOCH,
+        "content_hash": SQL_CONTENT_HASH,
+        "read_before_write": SQL_READ_BEFORE_WRITE,
+        "next_range": SQL_NEXT_RANGE,
+        "unprocessed_suffix": SQL_UNPROCESSED_SUFFIX,
+        "gap_detection": SQL_GAP_DETECTION,
+        "range_join": SQL_RANGE_JOIN,
+        "monotonicity": SQL_MONOTONICITY,
+        "interval_trim": SQL_INTERVAL_TRIM,
+        "route_filter": SQL_ROUTE_FILTER,
+        "set_difference": SQL_SET_DIFFERENCE,
+        "count_equality": SQL_COUNT_EQUALITY,
+        "dedup_exact_docs": SQL_DEDUP_EXACT_DOCS,
+        "docs_token_stats": SQL_DOCS_TOKEN_STATS,
+        "docs_fingerprint": SQL_DOCS_FINGERPRINT,
+        "docs_lang_stats": SQL_DOCS_LANG_STATS,
+        "emb_cosine_scores": SQL_EMB_COSINE_SCORES,
+        "emb_topk": SQL_EMB_TOPK,
+    }

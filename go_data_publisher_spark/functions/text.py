@@ -1,0 +1,185 @@
+"""Text analysis for the transcript/training-data pipeline.
+
+All transforms are **vectorized** — either pure Catalyst column expressions
+(JVM, whole-stage codegen) or Arrow-batched pandas UDFs operating on whole
+Series (per BASELINE.json input_hint: "vectorized pandas/Arrow UDFs (no
+per-row Python) throughout").  Nothing here iterates rows in Python.
+
+Column-expression variants are preferred in hot paths; the pandas-UDF
+variants exist where the logic doesn't decompose into built-ins (language ID
+scoring across many languages at once, rolling-hash fingerprints).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+# ---------------------------------------------------------------------------
+# Catalyst-expression transforms (zero Python)
+# ---------------------------------------------------------------------------
+
+# BPE-ish token boundary: runs of word chars, or single non-space symbols.
+_TOKEN_RE = r"\w+|[^\w\s]"
+
+
+def token_count(text: Column) -> Column:
+    """Approximate token count: word-ish pieces + standalone punctuation."""
+    return F.size(F.regexp_extract_all(text, F.lit(_TOKEN_RE), 0))
+
+
+def whitespace_token_count(text: Column) -> Column:
+    return F.size(F.split(F.trim(text), r"\s+"))
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for dedup: lowercase, collapse whitespace, strip."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def quality_features(text: Column) -> list[Column]:
+    """Length / punctuation / stopword-ratio features (quality scoring)."""
+    n_chars = F.length(text)
+    n_tokens = whitespace_token_count(text)
+    n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), 0))
+    n_stop = F.size(
+        F.regexp_extract_all(F.lower(text), F.lit(r"\b(the|a|and|of|to|in|is|it|that|for)\b"), 0)
+    )
+    return [
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        (n_chars / F.greatest(n_tokens, F.lit(1))).alias("avg_token_len"),
+        (n_punct / F.greatest(n_chars, F.lit(1))).alias("punct_ratio"),
+        (n_stop / F.greatest(n_tokens, F.lit(1))).alias("stopword_ratio"),
+    ]
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic from the features above."""
+    n_chars = F.length(text)
+    n_tokens = whitespace_token_count(text)
+    avg_len = n_chars / F.greatest(n_tokens, F.lit(1))
+    punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), 0)) / F.greatest(n_chars, F.lit(1))
+    length_ok = F.when((n_chars >= 20) & (n_chars <= 20000), 1.0).otherwise(0.3)
+    shape_ok = F.when((avg_len >= 3) & (avg_len <= 12), 1.0).otherwise(0.5)
+    punct_ok = F.when(punct <= 0.2, 1.0).otherwise(0.4)
+    return ((length_ok + shape_ok + punct_ok) / 3.0).alias("quality")
+
+
+# ---------------------------------------------------------------------------
+# Arrow-vectorized pandas UDFs
+# ---------------------------------------------------------------------------
+
+# Tiny per-language stopword profiles for the n-gram/stopword language-ID
+# heuristic.  Deliberately small: this is the cheap pre-filter stage of a
+# training pipeline, not a classifier.
+_LANG_MARKERS = {
+    "en": (" the ", " and ", " of ", " is ", " to "),
+    "de": (" der ", " die ", " und ", " ist ", " das "),
+    "fr": (" le ", " la ", " les ", " est ", " une "),
+    "es": (" el ", " los ", " que ", " una ", " es "),
+}
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _lang_id_udf():
+    @pandas_udf("string")
+    def _lang_id(text: pd.Series) -> pd.Series:
+        return _lang_id_impl(text)
+
+    return _lang_id
+
+
+def lang_id(text: Column) -> Column:
+    """Vectorized stopword-marker language ID with a CJK codepoint check.
+
+    Whole-series string ops (pandas .str, C-accelerated) — no Python loop
+    over rows.  (Lazily wrapped: pandas_udf registration needs a session.)
+    """
+    return _lang_id_udf()(text)
+
+
+def _lang_id_impl(text: pd.Series) -> pd.Series:
+    padded = " " + text.fillna("").str.lower() + " "
+    scores = pd.DataFrame(
+        {
+            lang: sum(padded.str.count(m.replace(" ", r"\s")) for m in markers)
+            for lang, markers in _LANG_MARKERS.items()
+        }
+    )
+    best = scores.idxmax(axis=1).where(scores.max(axis=1) > 0, "und")
+    # CJK detection: any codepoint in the unified-ideograph block
+    has_cjk = text.fillna("").str.contains(r"[一-鿿]", regex=True)
+    return best.mask(has_cjk, "zh")
+
+
+@functools.lru_cache(maxsize=None)
+def _fingerprint64_udf():
+    @pandas_udf("long")
+    def _fp(text: pd.Series) -> pd.Series:
+        return _fingerprint64_impl(text)
+
+    return _fp
+
+
+def fingerprint64(text: Column) -> Column:
+    """Deterministic 64-bit document fingerprint via a vectorized polynomial
+    rolling hash over the normalized codepoints (Arrow-batched pandas UDF)."""
+    return _fingerprint64_udf()(text)
+
+
+def _fingerprint64_impl(text: pd.Series) -> pd.Series:
+    normalized = text.fillna("").str.lower().str.replace(r"\s+", " ", regex=True).str.strip()
+    if len(normalized) == 0:
+        return pd.Series([], dtype="int64")
+    # Vectorize across the batch: fixed-width codepoint matrix (prefix cap
+    # 256 chars — fingerprints are prefix-robust), then a polynomial rolling
+    # hash looping over *positions*, numpy-parallel across rows.
+    prefix = normalized.str.slice(0, 256).str.pad(256, side="right", fillchar="\x00")
+    blob = prefix.str.cat().encode("utf-32-le")
+    codes = np.frombuffer(blob, dtype=np.uint32).reshape(len(prefix), 256).astype(np.uint64)
+    out = np.zeros(len(prefix), dtype=np.uint64)
+    base = np.uint64(1099511628211)
+    for i in range(codes.shape[1]):
+        col = codes[:, i]
+        active = col != 0
+        if not active.any():
+            break
+        out[active] = out[active] * base + col[active]
+    return pd.Series(out.astype(np.int64))
+
+
+def simhash64(text: Column, shingle_size: int = 3) -> Column:
+    """SimHash over word shingles, composed from Catalyst built-ins:
+    shingle → xxhash64 → per-bit majority vote → 64-bit signature.
+
+    Pure column expressions (no Python); the per-bit vote unrolls to 64
+    aggregate-free array ops on each row's shingle-hash array.
+    """
+    words = F.split(normalize_text(text), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - shingle_size, F.lit(0)))
+    shingles = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, shingle_size))
+    )
+    hashes = F.transform(shingles, lambda s: F.xxhash64(s))
+    # bit votes: for each bit b, sum(+1 if set else -1) over shingle hashes
+    bits = []
+    for b in range(64):
+        vote = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(F.lit(1).cast("long") << b) != 0, 1).otherwise(-1),
+        )
+        bits.append(F.when(vote > 0, F.lit(1).cast("long") << b).otherwise(F.lit(0).cast("long")))
+    sig = bits[0]
+    for c in bits[1:]:
+        sig = sig.bitwiseOR(c)
+    return sig

@@ -1,0 +1,171 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: the exact baseline — one scan, JVM-side
+  F.aggregate/zip_with arithmetic, TakeOrderedAndProject for the top-k.
+- LSH-bucketed ANN: random-hyperplane buckets; probe only the query's bucket
+  (and optionally neighboring buckets) — the scale path where a full scan of
+  10^10 vectors is off the table.
+- IVF-style variant: partition by a coarse quantizer (bucket of the
+  dominant hyperplanes) and store bucket as a partition column so Spark
+  prunes data files at scan time.
+
+All arithmetic stays in Catalyst expressions (whole-stage codegen); a
+numpy-vectorized pandas-UDF path is provided for wide batches where Arrow
+transfer + BLAS beats per-element codegen.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def cosine_to_query(vec: Column, query: Sequence[float]) -> Column:
+    q = F.array(*[F.lit(float(x)) for x in query])
+    return cosine_expr(vec, q)
+
+
+def brute_force_topk(df: DataFrame, query: Sequence[float], k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k: full scan + TakeOrderedAndProject (no shuffle of
+    payloads — each task keeps its local top-k, driver merges k*tasks rows)."""
+    return (
+        df.select(
+            F.col(id_col),
+            cosine_to_query(F.col(vec_col), query).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def make_cosine_topk_pandas(query: Sequence[float]):
+    """numpy/BLAS variant: matrix-vector product per Arrow batch."""
+    qv = np.asarray(query, dtype=np.float64)
+    qn = np.linalg.norm(qv)
+
+    @pandas_udf("double")
+    def cos(v: pd.Series) -> pd.Series:
+        m = np.vstack(v.to_numpy())
+        sims = (m @ qv) / (np.linalg.norm(m, axis=1) * qn)
+        return pd.Series(sims)
+
+    return cos
+
+
+def brute_force_topk_pandas(df: DataFrame, query, k=10, id_col="vec_id",
+                            vec_col="embedding") -> DataFrame:
+    cos = make_cosine_topk_pandas(query)
+    return (
+        df.select(F.col(id_col), cos(F.col(vec_col)).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH / IVF
+# ---------------------------------------------------------------------------
+
+def _plane_component(plane: int, dim: int, seed: int) -> Column:
+    """Deterministic pseudo-random hyperplane component in [-1, 1)."""
+    h = F.xxhash64(F.lit(seed), F.lit(plane), F.lit(dim))
+    return (F.pmod(h, F.lit(2_000_000)).cast("double") / 1_000_000.0) - 1.0
+
+
+def rhp_bucket(vec: Column, n_planes: int, seed: int = 7, dim: int | None = None) -> Column:
+    """Random-hyperplane LSH bucket id: sign-bit pattern of <vec, plane_i>.
+
+    Planes are derived from xxhash64(seed, plane, dim_index) so every
+    executor computes identical planes with no broadcast state.
+    """
+    # dot product with plane i, expressed positionally over the array
+    def dot_plane(i: int) -> Column:
+        idx = F.sequence(F.lit(0), F.size(vec) - 1)
+        terms = F.zip_with(
+            vec,
+            idx,
+            lambda x, j: x
+            * (
+                (F.pmod(F.xxhash64(F.lit(seed), F.lit(i), j), F.lit(2_000_000)).cast("double")
+                 / 1_000_000.0) - 1.0
+            ),
+        )
+        return F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
+
+    bucket = F.lit(0).cast("long")
+    for i in range(n_planes):
+        bucket = bucket + F.when(dot_plane(i) > 0, F.lit(1).cast("long") << i).otherwise(0)
+    return bucket
+
+
+def _query_bucket(spark, query: Sequence[float], n_planes: int, seed: int) -> int:
+    """Compute the query vector's bucket via a 1-row Spark job (keeps the
+    plane derivation in one place — no Python reimplementation to drift)."""
+    q = spark.createDataFrame([([float(x) for x in query],)], "vec array<double>")
+    return q.select(rhp_bucket(F.col("vec"), n_planes, seed).alias("b")).first()["b"]
+
+
+def ann_topk_lsh(df: DataFrame, query: Sequence[float], k: int = 10, n_planes: int = 8,
+                 seed: int = 7, id_col: str = "vec_id", vec_col: str = "embedding",
+                 multiprobe_hamming: int = 1) -> DataFrame:
+    spark = df.sparkSession
+    qb = _query_bucket(spark, query, n_planes, seed)
+    probes = [qb]
+    if multiprobe_hamming >= 1:
+        probes += [qb ^ (1 << i) for i in range(n_planes)]
+    if multiprobe_hamming >= 2:
+        probes += [
+            qb ^ (1 << i) ^ (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    bucketed = df.withColumn("__bucket", rhp_bucket(F.col(vec_col), n_planes, seed))
+    cand = bucketed.where(F.col("__bucket").isin(probes))
+    return brute_force_topk(cand, query, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def write_ivf_index(df: DataFrame, path: str, n_planes: int = 8, seed: int = 7,
+                    vec_col: str = "embedding") -> None:
+    """Materialize the corpus partitioned by LSH bucket — the IVF layout.
+    Queries against this layout get partition pruning: only probed buckets'
+    files are read."""
+    (
+        df.withColumn("bucket", rhp_bucket(F.col(vec_col), n_planes, seed))
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def ann_topk_ivf(spark, index_path: str, query: Sequence[float], k: int = 10,
+                 n_planes: int = 8, seed: int = 7, id_col: str = "vec_id",
+                 vec_col: str = "embedding", multiprobe_hamming: int = 1) -> DataFrame:
+    qb = _query_bucket(spark, query, n_planes, seed)
+    probes = [qb]
+    if multiprobe_hamming >= 1:
+        probes += [qb ^ (1 << i) for i in range(n_planes)]
+    df = spark.read.parquet(index_path).where(F.col("bucket").isin(probes))
+    return brute_force_topk(df, query, k=k, id_col=id_col, vec_col=vec_col)

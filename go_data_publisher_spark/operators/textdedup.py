@@ -1,0 +1,261 @@
+"""Document deduplication for large-scale training-data pipelines.
+
+Four families, each declarative DataFrame compositions designed for the
+100 TB shape (shuffle on small keys, candidate generation before expensive
+verification, no cross joins over the full corpus):
+
+- exact:      hash-groupBy on normalized text (one shuffle of (hash, id)).
+- minhash+lsh: shingle → k min-hashes → b bands → bucket-join candidates →
+               exact-Jaccard verify on candidates only.
+- simhash:    64-bit signature, near-dups = small hamming distance within
+              LSH-style band buckets.
+- embedding:  cosine near-dup via bucketed candidate join (random-hyperplane
+              LSH) + exact verify.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import normalize_text, simhash64
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                     normalize: bool = True) -> DataFrame:
+    """Groups of byte-identical (optionally normalized) documents.
+
+    Returns one row per content group: canonical_id = min id, n_dupes.
+    The shuffle carries only (hash, id) — text never moves.
+    """
+    txt = normalize_text(F.col(text_col)) if normalize else F.col(text_col)
+    h = F.sha2(txt, 256).alias("content_hash")
+    return (
+        df.select(h, F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def drop_exact_duplicates(df: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
+    """Keep the min-id representative of each content group."""
+    canon = exact_duplicates(df, id_col, text_col).select(
+        F.col("canonical_id").alias(id_col)
+    )
+    return df.join(canon, on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# shingles / jaccard
+# ---------------------------------------------------------------------------
+
+def _shingles(text_col: str, k: int = 3):
+    """Word k-shingles as an array column (deduped per doc)."""
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col="doc_id", text_col="text",
+                        k: int = 3, threshold: float = 0.7) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs that share at
+    least one shingle.  Inverted-index join: explode shingles, self-join on
+    shingle, count shared, then |A∪B| = |A|+|B|-shared.
+
+    Scale note: candidate generation by shared-shingle is quadratic in the
+    per-shingle posting list; for web scale use `minhash_lsh_pairs` (bands
+    bound the join fan-out) — this operator is the *verify* stage.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), _shingles(text_col, k).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    exploded = sh.select("id", "n_sh", F.explode("sh").alias("shingle"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.withColumn(
+            "jaccard",
+            F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# minhash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(df: DataFrame, id_col="doc_id", text_col="text",
+                       k: int = 3, n_hashes: int = 16) -> DataFrame:
+    """k-shingle MinHash signatures, entirely in Catalyst expressions.
+
+    Hash family i = xxhash64(shingle, seed=i); signature[i] = min over the
+    doc's shingles.  One pass, no explode, no shuffle.
+    """
+    sh = _shingles(text_col, k)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            for i in range(n_hashes)
+        ]
+    )
+    return df.select(F.col(id_col).alias("id"), sig.alias("minhash"))
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col="doc_id", text_col="text", k: int = 3,
+                      n_hashes: int = 16, n_bands: int = 4,
+                      verify_threshold: float | None = 0.5) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash LSH.
+
+    signature → b bands of r=n/b values → docs sharing a band hash become
+    candidates (shuffle on band-bucket keys only) → optional exact-Jaccard
+    verification of the candidates.
+    """
+    rows_per_band = n_hashes // n_bands
+    sigs = minhash_signatures(df, id_col, text_col, k, n_hashes)
+    bands = sigs.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("minhash")[b * rows_per_band + r].cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    if verify_threshold is None:
+        return cand
+    # verify candidates with exact jaccard (joins back only candidate docs)
+    sh = df.select(F.col(id_col).alias("id"), _shingles(text_col, k).alias("sh"))
+    out = (
+        cand.join(sh.withColumnRenamed("sh", "sh_a"), cand.id_a == sh.id)
+        .drop("id")
+        .join(
+            sh.select(F.col("id").alias("id2"), F.col("sh").alias("sh_b")),
+            cand.id_b == F.col("id2"),
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .where(F.col("jaccard") >= verify_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+def simhash_near_duplicates(df: DataFrame, id_col="doc_id", text_col="text",
+                            max_hamming: int = 3, n_bands: int = 4) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit signature into n_bands
+    16-bit chunks — any pair within hamming distance < n_bands must share a
+    band (pigeonhole) — then verify exact hamming ≤ max_hamming."""
+    sigs = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sig"))
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    bands = sigs.select(
+        "id",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("sig", b * width).bitwiseAND(F.lit(mask)).cast("long")
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band", "band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_near_duplicates(df: DataFrame, id_col="vec_id", vec_col="embedding",
+                              threshold: float = 0.95, n_planes: int = 12,
+                              seed: int = 7) -> DataFrame:
+    """Cosine near-dup pairs via random-hyperplane LSH buckets + exact verify.
+
+    Sign pattern of dot products with ``n_planes`` pseudo-random hyperplanes
+    (derived deterministically from xxhash64, no driver-side randomness)
+    buckets the vectors; exact cosine runs only within buckets.
+    """
+    from .similarity import cosine_expr, rhp_bucket
+
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    v = v.withColumn("bucket", rhp_bucket(F.col("vec"), n_planes, seed))
+    a, b = v.alias("a"), v.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        cosine_expr(F.col("a.vec"), F.col("b.vec")).alias("cosine"),
+    )
+    return cand.where(F.col("cosine") >= threshold)

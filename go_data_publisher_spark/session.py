@@ -1,0 +1,56 @@
+"""SparkSession factory tuned for the CDC/merge workload.
+
+Local mode is a single JVM with N executor threads; on a real cluster the same
+configs hold, with ``spark.sql.shuffle.partitions`` sized to ~2-3x total cores
+and AQE coalescing down at runtime.  Everything here is cluster-safe: we never
+rely on local-mode behavior in engine logic.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Shuffle-partition default: at 100 TB this would be several thousand; AQE
+# coalesces small post-shuffle partitions either way, so we set a ceiling that
+# matches the testing hardware and let AQE shrink.
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+
+
+def get_spark(
+    app_name: str = "spark-cdc-transcripts",
+    cores: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    ``cores`` accepts an int (local[N]) or "*" — used by the scaling bench to
+    run the identical job at two parallelism levels (local[8] vs local[32]),
+    the sandbox stand-in for N vs 4N executors.
+    """
+    cores = cores or os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = f"local[{cores}]"
+    nparts = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(nparts))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        # CDC batches are small relative to the target table: give the
+        # planner room to broadcast the batch side of the merge join.
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

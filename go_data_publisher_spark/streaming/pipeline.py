@@ -1,0 +1,70 @@
+"""Structured Streaming wrapper: tail the change log → foreachBatch merge.
+
+The streaming analogue of the reference's consumer main loop
+(transactions-consumer/main.go:94-149): a file-shaped change-log source
+(stand-in for Kafka; swap `.format("kafka")` + from_json on a cluster — the
+schema and everything downstream is identical), microbatched by
+maxFilesPerTrigger (the reference's MaxPollRecords),
+`foreachBatch(apply_batch)` as the exactly-once sink, checkpointed offsets
+for resume.
+
+Exactly-once is the composition of three guarantees:
+  1. the source checkpoint replays an uncommitted microbatch after a crash
+     (at-least-once), with the SAME epoch_id;
+  2. `ChangeApplier.apply_batch` consults the table manifest's committed
+     epoch set and no-ops on replay;
+  3. the table commit itself is an atomic manifest swap.
+This mirrors offsets-committed-after-bulk-index + deterministic doc IDs in
+the reference (transaction_consumer.go:134-150).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from .. import schemas
+from .apply import ChangeApplier
+
+
+def run_stream(
+    spark: SparkSession,
+    source_dir: str,
+    applier: ChangeApplier,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+    schema=None,
+    available_now: bool = True,
+    fail_after_batches: int | None = None,
+):
+    """Run the CDC stream until the source is drained (availableNow).
+
+    ``fail_after_batches`` injects a crash after N applied batches — used by
+    the kill/resume tests to prove checkpoint recovery + replay idempotence.
+    """
+    schema = schema or schemas.CHANGE_EVENT_SCHEMA
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+    state = {"applied": 0, "stats": []}
+
+    def handle(batch_df, epoch_id: int):
+        if fail_after_batches is not None and state["applied"] >= fail_after_batches:
+            raise RuntimeError("injected crash for resume test")
+        stats = applier.apply_batch(batch_df, epoch_id=epoch_id)
+        state["applied"] += 1
+        state["stats"].append(stats)
+
+    writer = src.writeStream.foreachBatch(handle).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    try:
+        q.awaitTermination()
+    except Exception:
+        q.stop()
+        if fail_after_batches is None:
+            raise
+    return state

@@ -1,0 +1,81 @@
+"""Self-check of the driver contract: every queries() entry with an oracle
+must match DuckDB on row count, column names, and order-insensitive values —
+the same comparison the driver's CORRECTNESS gate runs at sf=0.01."""
+
+import math
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, "/root/repo")
+import __spark_entry__ as E
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def _norm(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        # fold -0.0 / representation noise the same way on both sides
+        return f"{v:.9g}"
+    return str(v)
+
+
+def _canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+
+
+ORACLE_KEYS = sorted(E.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", ORACLE_KEYS)
+def test_query_matches_oracle(spark, duck, name):
+    q = E.queries()[name]
+    sdf = q(spark, SF_DIR)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    res = duck.execute(E.oracle_sql()[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), f"{name}: column names differ"
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row counts differ spark={len(spark_rows)} duck={len(duck_rows)}"
+    )
+    a = _canon(spark_rows, spark_cols)
+    b = _canon(duck_rows, duck_cols)
+    mism = [i for i, (x, y) in enumerate(zip(a, b)) if x != y][:3]
+    assert a == b, f"{name}: first mismatches at {mism}: " + "; ".join(
+        f"spark={a[i]} duck={b[i]}" for i in mism
+    )
+
+
+def test_rows_only_queries_run(spark):
+    for name, q in E.queries().items():
+        if name in E.oracle_sql():
+            continue
+        df = q(spark, SF_DIR)
+        assert df.count() >= 0, name
+
+
+def test_entry_smoke(spark):
+    df = E.entry(spark)
+    assert df.count() > 0

@@ -1,0 +1,163 @@
+"""End-to-end merge-apply: full-replay final-state equality vs the pandas
+oracle (the reference's golden replay test,
+transactions-producer/domain/processor_test.go:130-293, at table level),
+idempotent re-application, delete semantics, epoch replay guard."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from go_data_publisher_spark.lake.table import TranscriptTable
+from go_data_publisher_spark.sources.changelog import generate_changelog
+from go_data_publisher_spark.streaming.apply import ChangeApplier, replay_batch_range
+
+from conftest import pandas_final_state
+
+
+def _replay(spark, tmpdir_path, n=4000, n_chunks=4, salted=False, n_buckets=8):
+    log = generate_changelog(spark, n, n_convs=80, seed=23).persist()
+    tbl = TranscriptTable(spark, f"{tmpdir_path}/tbl", n_buckets=n_buckets)
+    app = ChangeApplier(
+        tbl,
+        quarantine_dir=f"{tmpdir_path}/quarantine",
+        lineage_dir=f"{tmpdir_path}/lineage",
+        salted=salted,
+    )
+    lo, hi = log.agg(F.min("lsn"), F.max("lsn")).first()
+    span = (hi - lo) // n_chunks + 1
+    bounds = [(lo + i * span, min(hi, lo + (i + 1) * span - 1)) for i in range(n_chunks)]
+    stats = replay_batch_range(app, log, bounds)
+    return log, tbl, app, bounds, stats
+
+
+def _assert_final_state_equals_oracle(log, tbl):
+    snap = (
+        tbl.snapshot()
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+    )
+    oracle = pandas_final_state(log.toPandas()).sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    # per-turn text equality under stable (conv_id, turn_idx, LSN) ordering
+    for col in ["conv_id", "turn_idx", "role", "text", "tool", "ts", "lsn"]:
+        pd.testing.assert_series_equal(
+            snap[col].reset_index(drop=True),
+            oracle[col].reset_index(drop=True),
+            check_names=False,
+            check_dtype=False,
+            obj=col,
+        )
+
+
+def test_full_replay_equals_oracle(spark, tmpdir_path):
+    log, tbl, app, bounds, stats = _replay(spark, tmpdir_path)
+    assert all(s["status"] == "committed" for s in stats)
+    _assert_final_state_equals_oracle(log, tbl)
+
+
+def test_full_replay_equals_oracle_salted(spark, tmpdir_path):
+    log, tbl, app, bounds, stats = _replay(spark, tmpdir_path, salted=True)
+    _assert_final_state_equals_oracle(log, tbl)
+
+
+def test_reapply_is_noop(spark, tmpdir_path):
+    log, tbl, app, bounds, stats = _replay(spark, tmpdir_path)
+    v_before = tbl.manifest()["version"]
+    stats2 = replay_batch_range(app, log, bounds)
+    assert all(s["status"] == "skipped_replay" for s in stats2)
+    assert tbl.manifest()["version"] == v_before
+    _assert_final_state_equals_oracle(log, tbl)
+
+
+def test_single_batch_replay_with_new_epoch_is_still_idempotent(spark, tmpdir_path):
+    """Replaying the same DATA under a NEW epoch id must also converge:
+    last-wins by LSN makes re-upserts overwrite with identical values."""
+    log, tbl, app, bounds, stats = _replay(spark, tmpdir_path)
+    before = tbl.snapshot().orderBy("conv_id", "turn_idx").collect()
+    batch = log.where(F.col("lsn").between(*bounds[-1]))
+    app.apply_batch(batch, epoch_id=999)
+    after = tbl.snapshot().orderBy("conv_id", "turn_idx").collect()
+    assert before == after
+
+
+def test_deletes_remove_rows(spark, tmpdir_path):
+    tbl = TranscriptTable(spark, f"{tmpdir_path}/tbl", n_buckets=4)
+    app = ChangeApplier(tbl)
+    rows = [
+        (1, "I", "c1", 0, "user", "hello", None, None, 1),
+        (2, "I", "c1", 1, "assistant", "hi", None, None, 1),
+        (3, "D", "c1", 0, None, None, None, None, 1),
+    ]
+    batch = spark.createDataFrame(
+        rows,
+        "lsn long, op string, conv_id string, turn_idx int, role string, "
+        "text string, tool string, ts timestamp, schema_version int",
+    )
+    app.apply_batch(batch, epoch_id=0)
+    got = tbl.snapshot().collect()
+    assert len(got) == 1 and got[0]["turn_idx"] == 1
+
+    late = spark.createDataFrame(
+        [(9, "U", "c1", 1, "assistant", "hi2", None, None, 1)],
+        batch.schema,
+    )
+    app.apply_batch(late, epoch_id=1)
+    got = {(r["conv_id"], r["turn_idx"]): r["text"] for r in tbl.snapshot().collect()}
+    assert got == {("c1", 1): "hi2"}
+
+
+def test_lsn_guard_ignores_stale_cross_batch_update(spark, tmpdir_path):
+    """The MERGE is LSN-guarded (D5 generalized): a change whose lsn is below
+    the row already in the table is ignored — so replaying old data under a
+    new epoch id converges instead of regressing."""
+    tbl = TranscriptTable(spark, f"{tmpdir_path}/tbl", n_buckets=4)
+    app = ChangeApplier(tbl)
+    schema = (
+        "lsn long, op string, conv_id string, turn_idx int, role string, "
+        "text string, tool string, ts timestamp, schema_version int"
+    )
+    app.apply_batch(
+        spark.createDataFrame([(9, "U", "c1", 1, "assistant", "new", None, None, 1)], schema),
+        epoch_id=0,
+    )
+    app.apply_batch(
+        spark.createDataFrame([(5, "U", "c1", 1, "assistant", "old", None, None, 1),
+                               (4, "D", "c1", 1, None, None, None, None, 1)], schema),
+        epoch_id=1,
+    )
+    got = tbl.snapshot().collect()
+    assert len(got) == 1 and got[0]["text"] == "new" and got[0]["lsn"] == 9
+
+
+def test_quarantine_and_lineage(spark, tmpdir_path):
+    log, tbl, app, bounds, stats = _replay(spark, tmpdir_path)
+    q = spark.read.parquet(f"{tmpdir_path}/quarantine")
+    assert q.count() == sum(s["rows_quarantined"] for s in stats)
+    lin = app.lineage()
+    assert lin.where("rows_upserted < 0").count() == 0
+    # lineage epochs cover every committed batch
+    epochs = {r["epoch_id"] for r in lin.select("epoch_id").distinct().collect()}
+    assert epochs == {0, 1, 2, 3}
+    # lsn ranges per epoch lie within the chunk bounds
+    agg = lin.groupBy("epoch_id").agg(F.min("lsn_from").alias("lo"), F.max("lsn_to").alias("hi")).collect()
+    for r in agg:
+        lo, hi = bounds[r["epoch_id"]]
+        assert lo <= r["lo"] <= r["hi"] <= hi
+
+
+def test_bucket_pruning_only_touched_buckets_rewritten(spark, tmpdir_path):
+    tbl = TranscriptTable(spark, f"{tmpdir_path}/tbl", n_buckets=64)
+    app = ChangeApplier(tbl)
+    big = generate_changelog(spark, 2000, n_convs=100, seed=31)
+    app.apply_batch(big, epoch_id=0)
+    files_before = {f["path"] for f in tbl.manifest()["files"]}
+
+    one = spark.createDataFrame(
+        [(10_000_000, "U", "conv-000050", 1, "user", "patched", None, None, 2)],
+        "lsn long, op string, conv_id string, turn_idx int, role string, "
+        "text string, tool string, ts timestamp, schema_version int",
+    )
+    stats = app.apply_batch(one, epoch_id=1)
+    assert len(stats["touched_buckets"]) == 1  # single conv → single bucket
+    files_after = {f["path"] for f in tbl.manifest()["files"]}
+    # all untouched bucket files survive verbatim
+    assert len(files_before - files_after) <= 1
+    assert len(files_after - files_before) <= 1

@@ -1,0 +1,93 @@
+"""Vectorized text functions + codecs."""
+
+from pyspark.sql import functions as F
+
+from go_data_publisher_spark.functions import text as TX
+from go_data_publisher_spark.functions.codecs import (
+    base64_to_hex,
+    from_wire,
+    hex_to_base64,
+    to_wire,
+)
+from go_data_publisher_spark.sources.changelog import generate_changelog
+
+
+def _docs(spark):
+    rows = [
+        (0, "The quick brown fox jumps over the lazy dog, and then it rests."),
+        (1, "Der Hund ist gut und die Katze ist auch gut, das stimmt."),
+        (2, "le chat est sur la table et les livres sont dans une boite"),
+        (3, "el perro y los gatos que viven en una casa, es bonito"),
+        (4, "这是一个中文句子 没有空格"),
+        (5, ""),
+        (6, "x"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_counts(spark):
+    df = _docs(spark).select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("bpe"),
+        TX.whitespace_token_count(F.col("text")).alias("ws"),
+    )
+    got = {r["doc_id"]: (r["bpe"], r["ws"]) for r in df.collect()}
+    assert got[0][0] > got[0][1]  # punctuation counted separately
+    assert got[6] == (1, 1)
+
+
+def test_normalize(spark):
+    df = spark.createDataFrame([("  A   B\tC  ",)], "t string")
+    assert df.select(TX.normalize_text(F.col("t")).alias("n")).first()["n"] == "a b c"
+
+
+def test_quality(spark):
+    df = _docs(spark).select("doc_id", TX.quality_score(F.col("text")).alias("q"),
+                             *TX.quality_features(F.col("text")))
+    got = {r["doc_id"]: r.asDict() for r in df.collect()}
+    assert got[0]["q"] > got[5]["q"]  # real sentence beats empty
+    assert got[0]["stopword_ratio"] > 0
+
+
+def test_lang_id(spark):
+    df = _docs(spark).select("doc_id", TX.lang_id(F.col("text")).alias("lang"))
+    got = {r["doc_id"]: r["lang"] for r in df.collect()}
+    assert got[0] == "en" and got[1] == "de" and got[2] == "fr" and got[3] == "es"
+    assert got[4] == "zh"
+    assert got[5] == "und"
+
+
+def test_fingerprint_deterministic_and_normalizing(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello   World"), (1, "hello world"), (2, "different")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["fp"] for r in
+           df.select("doc_id", TX.fingerprint64(F.col("text")).alias("fp")).collect()}
+    assert got[0] == got[1]  # normalization folds case/whitespace
+    assert got[0] != got[2]
+
+
+def test_simhash_similar_texts_close(spark):
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    b = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+    c = "completely unrelated words about spark shuffle partitions and manifests"
+    df = spark.createDataFrame([(0, a), (1, b), (2, c)], "id long, text string")
+    sigs = {r["id"]: r["s"] for r in df.select("id", TX.simhash64(F.col("text")).alias("s")).collect()}
+    ham = lambda x, y: bin((x ^ y) & ((1 << 64) - 1)).count("1")
+    assert ham(sigs[0], sigs[1]) < ham(sigs[0], sigs[2])
+    assert ham(sigs[0], sigs[1]) <= 16
+
+
+def test_wire_roundtrip(spark):
+    log = generate_changelog(spark, 200, seed=19)
+    back = from_wire(to_wire(log))
+    a = sorted(log.collect(), key=lambda r: (r["lsn"], str(r["conv_id"]), r["op"]))
+    b = sorted(back.collect(), key=lambda r: (r["lsn"], str(r["conv_id"]), r["op"]))
+    assert a == b
+
+
+def test_hex_base64_transcode(spark):
+    df = spark.createDataFrame([("deadbeef",)], "h string")
+    out = df.select(base64_to_hex(hex_to_base64(F.col("h"))).alias("round"))
+    assert out.first()["round"] == "deadbeef"
