@@ -418,7 +418,7 @@ def q_emb_cosine_scores(spark, sf_dir):
     q = _query_vec(spark, sf_dir)
     return emb.select(
         "vec_id",
-        F.round(S.cosine_to_query(F.col("embedding"), q), 3).alias("cosine_r3"),
+        (F.round(S.cosine_to_query(F.col("embedding"), q), 3) + 0.0).alias("cosine_r3"),
     )
 
 
@@ -426,7 +426,7 @@ SQL_EMB_COSINE_SCORES = """
   SELECT e.vec_id,
          round(list_dot_product(e.embedding, q.embedding) /
                (sqrt(list_dot_product(e.embedding, e.embedding)) *
-                sqrt(list_dot_product(q.embedding, q.embedding))), 3) AS cosine_r3
+                sqrt(list_dot_product(q.embedding, q.embedding))), 3) + 0.0 AS cosine_r3
   FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
 """
 
@@ -435,11 +435,11 @@ def q_emb_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     q = _query_vec(spark, sf_dir)
     top = S.brute_force_topk(emb, q, k=10)
-    return top.select("vec_id", F.round("cosine", 3).alias("cosine_r3"))
+    return top.select("vec_id", (F.round("cosine", 3) + 0.0).alias("cosine_r3"))
 
 
 SQL_EMB_TOPK = """
-  SELECT vec_id, round(cosine, 3) AS cosine_r3
+  SELECT vec_id, round(cosine, 3) + 0.0 AS cosine_r3
   FROM (
     SELECT e.vec_id,
            list_dot_product(e.embedding, q.embedding) /
@@ -478,7 +478,7 @@ def q_emb_ann_lsh(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     q = _query_vec(spark, sf_dir)
     top = S.ann_topk_lsh(emb, q, k=10, n_planes=6, multiprobe_hamming=1)
-    return top.select("vec_id", F.round("cosine", 3).alias("cosine_r3"))
+    return top.select("vec_id", (F.round("cosine", 3) + 0.0).alias("cosine_r3"))
 
 
 def q_cdc_engine_replay(spark, sf_dir):

@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline metric is the engine's primary number per BASELINE.json:
+**change-events/sec applied end-to-end** through the chunked dedup+MERGE
+replay (reported as `events_per_sec` inside the JSON; `value` is total
+wall-seconds across the headline queries, as the driver expects).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as E
+from go_data_publisher_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# headline queries: the CDC core + one representative per operator family
+HEADLINE = [
+    "cdc_final_state",
+    "latest_per_group",
+    "count_per_key",
+    "gap_detection",
+    "range_join",
+    "set_difference",
+    "dedup_exact_docs",
+    "minhash_pairs_docs",
+    "emb_topk",
+]
+
+
+def time_query(spark, fn, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    df = fn(spark, sf_dir)
+    n = df.count()  # materialize
+    assert n >= 0
+    return time.perf_counter() - t0
+
+
+def bench_merge_throughput(spark, n_events: int, n_chunks: int = 8) -> dict:
+    """End-to-end binlog-replay merge throughput: generate a deterministic
+    change log, replay it through dedup + bucketed MERGE, report events/sec."""
+    from go_data_publisher_spark.lake.table import TranscriptTable
+    from go_data_publisher_spark.sources.changelog import generate_changelog
+    from go_data_publisher_spark.streaming.apply import ChangeApplier, replay_batch_range
+
+    log = generate_changelog(spark, n_events, n_convs=max(200, n_events // 500), seed=42)
+    log = log.persist()
+    n = log.count()  # materialize input outside the timed region
+
+    root = tempfile.mkdtemp(prefix="cdc_bench_")
+    try:
+        tbl = TranscriptTable(spark, f"{root}/tbl", n_buckets=32)
+        app = ChangeApplier(tbl, lineage_dir=f"{root}/lineage")
+        lo, hi = log.agg(F.min("lsn"), F.max("lsn")).first()
+        span = (hi - lo) // n_chunks + 1
+        bounds = [(lo + i * span, min(hi, lo + (i + 1) * span - 1)) for i in range(n_chunks)]
+
+        t0 = time.perf_counter()
+        replay_batch_range(app, log, bounds)
+        dt = time.perf_counter() - t0
+        final_rows = tbl.snapshot().count()
+    finally:
+        log.unpersist()
+        shutil.rmtree(root, ignore_errors=True)
+    return {
+        "n_events": n,
+        "seconds": round(dt, 3),
+        "events_per_sec": round(n / dt, 1),
+        "final_rows": final_rows,
+        "n_chunks": n_chunks,
+    }
+
+
+def main():
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    spark = get_spark(app_name="bench", cores=CPUS)
+
+    queries = E.queries()
+    per_query = {}
+    total = 0.0
+    for name in HEADLINE:
+        dt = time_query(spark, queries[name], SF_DIR)
+        per_query[name] = round(dt, 3)
+        total += dt
+
+    n_events = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "2000000"))
+    merge = bench_merge_throughput(spark, n_events)
+    per_query["cdc_merge_replay"] = merge["seconds"]
+    total += merge["seconds"]
+
+    print(
+        json.dumps(
+            {
+                "metric": "change-events/sec applied (end-to-end merge replay) + headline query wall time",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "merge_throughput": merge,
+                "cpus": CPUS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -170,15 +170,17 @@ def simhash64(text: Column, shingle_size: int = 3) -> Column:
     )
     hashes = F.transform(shingles, lambda s: F.xxhash64(s))
     # bit votes: for each bit b, sum(+1 if set else -1) over shingle hashes
-    bits = []
-    for b in range(64):
-        vote = F.aggregate(
+    def _vote(mask):
+        return F.aggregate(
             hashes,
             F.lit(0),
-            lambda acc, h: acc
-            + F.when(h.bitwiseAND(F.lit(1).cast("long") << b) != 0, 1).otherwise(-1),
+            lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1),
         )
-        bits.append(F.when(vote > 0, F.lit(1).cast("long") << b).otherwise(F.lit(0).cast("long")))
+
+    bits = []
+    for b in range(64):
+        bitmask = F.lit(1 << b if b < 63 else -(1 << 63)).cast("long")
+        bits.append(F.when(_vote(bitmask) > 0, bitmask).otherwise(F.lit(0).cast("long")))
     sig = bits[0]
     for c in bits[1:]:
         sig = sig.bitwiseOR(c)

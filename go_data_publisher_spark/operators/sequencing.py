@@ -45,22 +45,23 @@ def epoch_for_lsn(events: DataFrame, intervals: DataFrame, lsn_col="lsn",
     )
 
 
-def verify_monotonic(intervals: DataFrame, order_cols=("epoch", "from_lsn")) -> DataFrame:
-    """Q6: count ordering violations (must be 0).
+def verify_monotonic(intervals: DataFrame, seq_col: str, attr_cols=("epoch", "from_lsn")) -> DataFrame:
+    """Q6: count rows where the attribute tuple is not strictly ascending in
+    ``seq_col`` order (must be 0).
 
     Reference: tick-intervals-publisher asserts intervals ascending by
-    (epoch, from) (processing/tick_interval_processor.go:167-179).
+    (epoch, from) (processing/tick_interval_processor.go:167-179).  A
+    DataFrame has no inherent order, so the position in the original list is
+    an explicit sequence column.
     """
-    w = Window.orderBy(*[F.col(c) for c in order_cols])
-    first, rest = order_cols[0], list(order_cols[1:])
-    prev = [F.lag(c).over(w).alias(f"__prev_{c}") for c in order_cols]
-    df = intervals.select(*intervals.columns, *prev)
-    cond = F.col(f"__prev_{first}").isNotNull() & (
-        (F.col(first) < F.col(f"__prev_{first}"))
-        | ((F.col(first) == F.col(f"__prev_{first}"))
-           & (F.col(rest[0]) <= F.col(f"__prev_{rest[0]}")) if rest else F.lit(False))
+    w = Window.orderBy(F.col(seq_col))
+    cur = F.struct(*[F.col(c) for c in attr_cols])
+    prev = F.lag(cur).over(w)
+    df = intervals.select(cur.alias("__cur"), prev.alias("__prev"))
+    cond = F.col("__prev").isNotNull() & (F.col("__cur") <= F.col("__prev"))
+    return df.agg(
+        F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)).cast("long").alias("n_violations")
     )
-    return df.agg(F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias("n_violations"))
 
 
 def detect_gaps(df: DataFrame, key_cols, lsn_col: str, min_gap: int = 1) -> DataFrame:

@@ -116,7 +116,7 @@ def rhp_bucket(vec: Column, n_planes: int, seed: int = 7, dim: int | None = None
 
     bucket = F.lit(0).cast("long")
     for i in range(n_planes):
-        bucket = bucket + F.when(dot_plane(i) > 0, F.lit(1).cast("long") << i).otherwise(0)
+        bucket = bucket + F.when(dot_plane(i) > 0, F.lit(1 << i).cast("long")).otherwise(0)
     return bucket
 
 

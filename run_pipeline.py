@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint for the CDC pipeline (BASELINE.json packaging
+contract: `spark-submit --py-files dist/go_data_publisher_spark.zip
+run_pipeline.py <cmd> ...`).
+
+Commands:
+  generate  --out DIR --events N [--chunks K]     write a change-log stream dir
+  stream    --source DIR --table DIR --checkpoint DIR   tail + merge-apply
+  batch     --source DIR --table DIR [--chunks K]       chunked batch replay
+  verify    --source DIR --table DIR              full-replay equality check
+  bench     (see bench.py / bench_scaling.py)
+
+On a cluster, swap `get_spark` for the session spark-submit provides
+(SparkSession.builder.getOrCreate() picks up --master/--conf).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main():
+    p = argparse.ArgumentParser()
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate")
+    g.add_argument("--out", required=True)
+    g.add_argument("--events", type=int, default=1_000_000)
+    g.add_argument("--chunks", type=int, default=16)
+    g.add_argument("--seed", type=int, default=42)
+
+    s = sub.add_parser("stream")
+    s.add_argument("--source", required=True)
+    s.add_argument("--table", required=True)
+    s.add_argument("--checkpoint", required=True)
+    s.add_argument("--buckets", type=int, default=32)
+    s.add_argument("--max-files-per-trigger", type=int, default=1)
+    s.add_argument("--lineage", default=None)
+
+    b = sub.add_parser("batch")
+    b.add_argument("--source", required=True)
+    b.add_argument("--table", required=True)
+    b.add_argument("--buckets", type=int, default=32)
+    b.add_argument("--chunks", type=int, default=8)
+    b.add_argument("--lineage", default=None)
+
+    v = sub.add_parser("verify")
+    v.add_argument("--source", required=True)
+    v.add_argument("--table", required=True)
+
+    args = p.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = SparkSession.builder.appName(f"cdc-{args.cmd}").getOrCreate()
+
+    from go_data_publisher_spark.lake.table import TranscriptTable
+    from go_data_publisher_spark.sources.changelog import (
+        generate_changelog,
+        write_changelog_stream_dir,
+    )
+    from go_data_publisher_spark.streaming.apply import ChangeApplier, replay_batch_range
+    from go_data_publisher_spark.streaming.pipeline import run_stream
+
+    if args.cmd == "generate":
+        log = generate_changelog(spark, args.events, seed=args.seed)
+        bounds = write_changelog_stream_dir(log, args.out, n_chunks=args.chunks)
+        print(json.dumps({"chunks": len(bounds), "bounds": bounds[:3]}))
+
+    elif args.cmd == "stream":
+        tbl = TranscriptTable(spark, args.table, n_buckets=args.buckets)
+        app = ChangeApplier(tbl, lineage_dir=args.lineage,
+                            quarantine_dir=f"{args.table}/_quarantine")
+        state = run_stream(spark, args.source, app, args.checkpoint,
+                           max_files_per_trigger=args.max_files_per_trigger)
+        print(json.dumps({"applied_batches": state["applied"]}))
+
+    elif args.cmd == "batch":
+        log = spark.read.parquet(args.source)
+        tbl = TranscriptTable(spark, args.table, n_buckets=args.buckets)
+        app = ChangeApplier(tbl, lineage_dir=args.lineage,
+                            quarantine_dir=f"{args.table}/_quarantine")
+        lo, hi = log.agg(F.min("lsn"), F.max("lsn")).first()
+        span = (hi - lo) // args.chunks + 1
+        bounds = [(lo + i * span, min(hi, lo + (i + 1) * span - 1)) for i in range(args.chunks)]
+        stats = replay_batch_range(app, log, bounds)
+        print(json.dumps({"batches": stats}))
+
+    elif args.cmd == "verify":
+        from go_data_publisher_spark.operators.dedup import last_wins
+        from go_data_publisher_spark.operators.routing import split_valid
+        from go_data_publisher_spark.operators.verify import assert_equal_state
+
+        log = spark.read.parquet(args.source)
+        valid, _ = split_valid(log)
+        expected = last_wins(valid).where(F.col("op") != "D").drop("op", "schema_version")
+        tbl = TranscriptTable(spark, args.table)
+        got = tbl.snapshot()
+        stats = assert_equal_state(
+            got, expected, key=("conv_id", "turn_idx"), compare_cols=["text", "role", "lsn"]
+        )
+        print(json.dumps({"verified": True, **stats}))
+
+
+if __name__ == "__main__":
+    main()

@@ -32,7 +32,8 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        # fold -0.0 / representation noise the same way on both sides
+        if v == 0.0:
+            return "0"  # fold -0.0
         return f"{v:.9g}"
     return str(v)
 

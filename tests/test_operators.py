@@ -42,10 +42,18 @@ def test_group_intervals_and_trim(spark, seqdf):
 
 
 def test_verify_monotonic(spark):
-    ok = spark.createDataFrame([(1, 10), (1, 20), (2, 5)], "epoch int, from_lsn long")
-    bad = spark.createDataFrame([(1, 20), (1, 10), (2, 5)], "epoch int, from_lsn long")
-    assert Q.verify_monotonic(ok).first()["n_violations"] == 0
-    assert Q.verify_monotonic(bad).first()["n_violations"] == 1
+    ok = spark.createDataFrame(
+        [(0, 1, 10), (1, 1, 20), (2, 2, 5)], "pos int, epoch int, from_lsn long"
+    )
+    bad = spark.createDataFrame(
+        [(0, 1, 20), (1, 1, 10), (2, 2, 5)], "pos int, epoch int, from_lsn long"
+    )
+    dup = spark.createDataFrame(
+        [(0, 1, 10), (1, 1, 10)], "pos int, epoch int, from_lsn long"
+    )
+    assert Q.verify_monotonic(ok, "pos").first()["n_violations"] == 0
+    assert Q.verify_monotonic(bad, "pos").first()["n_violations"] == 1
+    assert Q.verify_monotonic(dup, "pos").first()["n_violations"] == 1
 
 
 def test_epoch_for_lsn(spark, seqdf):
