@@ -107,19 +107,23 @@ def ngram_jaccard_pairs(df: DataFrame, id_col="doc_id", text_col="text",
 
 def minhash_signatures(df: DataFrame, id_col="doc_id", text_col="text",
                        k: int = 3, n_hashes: int = 16) -> DataFrame:
-    """k-shingle MinHash signatures, entirely in Catalyst expressions.
+    """k-shingle MinHash signatures.
 
     Hash family i = xxhash64(shingle, seed=i); signature[i] = min over the
-    doc's shingles.  One pass, no explode, no shuffle.
+    doc's shingles.  Shape: explode shingles once, then ``n_hashes`` min
+    aggregations in one hash-aggregate — each shingle is hashed exactly once
+    per family (vs. n_hashes re-walks of the shingle array), and the shuffle
+    benefits from map-side partial mins, so hot documents never concentrate.
     """
-    sh = _shingles(text_col, k)
-    sig = F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
-            for i in range(n_hashes)
-        ]
+    exploded = df.select(
+        F.col(id_col).alias("id"), F.explode(_shingles(text_col, k)).alias("shingle")
     )
-    return df.select(F.col(id_col).alias("id"), sig.alias("minhash"))
+    aggs = [F.min(F.xxhash64("shingle", F.lit(i))).alias(f"__h{i}") for i in range(n_hashes)]
+    return (
+        exploded.groupBy("id")
+        .agg(*aggs)
+        .select("id", F.array(*[F.col(f"__h{i}") for i in range(n_hashes)]).alias("minhash"))
+    )
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col="doc_id", text_col="text", k: int = 3,
@@ -165,8 +169,15 @@ def minhash_lsh_pairs(df: DataFrame, id_col="doc_id", text_col="text", k: int = 
     )
     if verify_threshold is None:
         return cand
-    # verify candidates with exact jaccard (joins back only candidate docs)
-    sh = df.select(F.col(id_col).alias("id"), _shingles(text_col, k).alias("sh"))
+    # verify candidates with exact jaccard — shingle arrays are materialized
+    # ONLY for docs that appear in a candidate pair (semi-join prune first)
+    cand_ids = (
+        cand.select(F.col("id_a").alias("cid"))
+        .unionByName(cand.select(F.col("id_b").alias("cid")))
+        .distinct()
+    )
+    pruned = df.join(cand_ids, df[id_col] == F.col("cid"), "left_semi")
+    sh = pruned.select(F.col(id_col).alias("id"), _shingles(text_col, k).alias("sh"))
     out = (
         cand.join(sh.withColumnRenamed("sh", "sh_a"), cand.id_a == sh.id)
         .drop("id")

@@ -61,7 +61,17 @@ class ChangeApplier:
         dedup = None
         try:
             valid, quarantined = split_valid(batch)
-            n_quarantined = quarantined.count()
+            # One pass for all batch-level stats (valid bounds + invalid count)
+            # instead of separate count()/agg() jobs.
+            from ..operators.routing import validity_predicate
+
+            vp = validity_predicate()
+            stats_row = batch.agg(
+                F.sum(F.when(~F.coalesce(vp, F.lit(False)), 1).otherwise(0)).alias("nq"),
+                F.min(F.when(vp, F.col("lsn"))).alias("mn"),
+                F.max(F.when(vp, F.col("lsn"))).alias("mx"),
+            ).first()
+            n_quarantined = int(stats_row["nq"] or 0)
             if n_quarantined and self.quarantine_dir:
                 quarantined.write.mode("append").parquet(self.quarantine_dir)
 
@@ -82,9 +92,7 @@ class ChangeApplier:
                     cols.append(F.lit(None).cast(f.dataType).alias(f.name))
             changes = dedup.select(*cols, "op")
 
-            bounds = valid.agg(
-                F.min("lsn").alias("mn"), F.max("lsn").alias("mx")
-            ).first()
+            bounds = stats_row
             stats = self.table.merge(
                 changes, epoch_id=epoch_id, batch_max_lsn=bounds["mx"]
             )

@@ -35,18 +35,35 @@ def run_stream(
     schema=None,
     available_now: bool = True,
     fail_after_batches: int | None = None,
+    metrics_path: str | None = None,
 ):
     """Run the CDC stream until the source is drained (availableNow).
 
     ``fail_after_batches`` injects a crash after N applied batches — used by
     the kill/resume tests to prove checkpoint recovery + replay idempotence.
+    ``metrics_path`` attaches a MicrobatchMetricsListener writing one JSON
+    row per progress event (A5).
     """
+    from pyspark.sql import functions as F
+
     schema = schema or schemas.CHANGE_EVENT_SCHEMA
     src = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(source_dir)
     )
+    # zero-cost batch counters piggybacked on the stream pass (A5)
+    src = src.observe(
+        "cdc_batch", F.count(F.lit(1)).alias("rows"),
+        F.min("lsn").alias("lsn_min"), F.max("lsn").alias("lsn_max"),
+    )
+
+    listener = None
+    if metrics_path:
+        from .metrics import MicrobatchMetricsListener
+
+        listener = MicrobatchMetricsListener(metrics_path)
+        spark.streams.addListener(listener)
 
     state = {"applied": 0, "stats": []}
 
@@ -67,4 +84,22 @@ def run_stream(
         q.stop()
         if fail_after_batches is None:
             raise
+    finally:
+        if listener is not None:
+            # listener delivery is async (AsyncEventQueue): wait until the
+            # progress rows for all applied batches have landed
+            import json
+            import time
+
+            deadline = time.time() + 10
+            while time.time() < deadline:
+                try:
+                    with open(listener.out_path) as f:
+                        n = sum(1 for line in f if '"progress"' in line)
+                    if n >= state["applied"]:
+                        break
+                except FileNotFoundError:
+                    pass
+                time.sleep(0.2)
+            spark.streams.removeListener(listener)
     return state

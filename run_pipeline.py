@@ -37,6 +37,7 @@ def main():
     s.add_argument("--buckets", type=int, default=32)
     s.add_argument("--max-files-per-trigger", type=int, default=1)
     s.add_argument("--lineage", default=None)
+    s.add_argument("--metrics", default=None)
 
     b = sub.add_parser("batch")
     b.add_argument("--source", required=True)
@@ -74,7 +75,8 @@ def main():
         app = ChangeApplier(tbl, lineage_dir=args.lineage,
                             quarantine_dir=f"{args.table}/_quarantine")
         state = run_stream(spark, args.source, app, args.checkpoint,
-                           max_files_per_trigger=args.max_files_per_trigger)
+                           max_files_per_trigger=args.max_files_per_trigger,
+                           metrics_path=args.metrics)
         print(json.dumps({"applied_batches": state["applied"]}))
 
     elif args.cmd == "batch":
