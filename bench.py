@@ -99,7 +99,7 @@ def main():
         per_query[name] = round(dt, 3)
         total += dt
 
-    n_events = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "2000000"))
+    n_events = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "4000000"))
     merge = bench_merge_throughput(spark, n_events)
     per_query["cdc_merge_replay"] = merge["seconds"]
     total += merge["seconds"]

@@ -65,11 +65,13 @@ class TranscriptTable:
     """The partitioned MERGE target with atomic manifest commits."""
 
     def __init__(self, spark: SparkSession, root: str, n_buckets: int = 16,
-                 schema: T.StructType | None = None, key=schemas.TRANSCRIPT_KEY):
+                 schema: T.StructType | None = None, key=schemas.TRANSCRIPT_KEY,
+                 broadcast_merge_max_keys: int = 200_000):
         self.spark = spark
         self.root = root.rstrip("/")
         self.n_buckets = n_buckets
         self.key = list(key)
+        self.broadcast_merge_max_keys = broadcast_merge_max_keys
         os.makedirs(f"{self.root}/data", exist_ok=True)
         os.makedirs(f"{self.root}/_manifests", exist_ok=True)
         if self._current_version() is None:
@@ -211,6 +213,9 @@ class TranscriptTable:
         epoch_id: int,
         batch_max_lsn: int | None = None,
         order_col: str = "lsn",
+        touched: list[int] | None = None,
+        strategy: str = "auto",
+        n_changes: int | None = None,
     ) -> dict:
         """Idempotent, LSN-guarded MERGE of one deduped batch.
 
@@ -233,14 +238,19 @@ class TranscriptTable:
         an older update for the same key) would resurrect the row; a binlog
         tail applied in offset order cannot produce that sequence.
 
-        Physical strategy (one shuffle of bucket-sized data):
-        - prune the target scan to the buckets the batch touches;
-        - survivors (keys untouched by the batch): broadcast anti-join — the
-          big target side is never shuffled;
-        - contested keys: broadcast semi-join pulls at most |batch| current
-          rows, which fight the batch winners in a small last-wins reduce;
-        - rewrite only touched buckets (the write repartition is the single
-          big shuffle), commit a new manifest atomically.
+        Physical strategy — two plans, picked by batch size (the analogue of
+        Iceberg's COW merge join strategies):
+        - **broadcast** (small batch, the streaming steady state): prune the
+          target scan to touched buckets; survivors = broadcast anti-join
+          (the big target side never shuffles); contested keys = broadcast
+          semi-join pulls ≤|batch| current rows into a small last-wins
+          reduce; one big shuffle total (the bucket-write repartition).
+        - **shuffle** (large batch / backfill): broadcast-building millions
+          of batch keys serializes on the driver, so instead union the
+          touched-bucket rows (as op='U' defenders at their own lsn) with the
+          batch winners and run one fully-parallel last-wins reduce — every
+          stage scales with cores.
+        ``strategy``: "broadcast" | "shuffle" | "auto" (by ``n_changes``).
         """
         if epoch_id in self.committed_epochs():
             return {"status": "skipped_replay", "epoch_id": epoch_id}
@@ -250,39 +260,58 @@ class TranscriptTable:
         cols = [f.name for f in target_schema.fields]
 
         batch_keys = changes.select(*self.key).distinct()
-        touched = sorted(
-            r["__bucket"]
-            for r in batch_keys.select(
-                bucket_expr(self.key[0], self.n_buckets).alias("__bucket")
-            ).distinct().collect()
-        )
+        if touched is None:
+            touched = sorted(
+                r["__bucket"]
+                for r in batch_keys.select(
+                    bucket_expr(self.key[0], self.n_buckets).alias("__bucket")
+                ).distinct().collect()
+            )
+        else:
+            touched = sorted(touched)
         if not touched:
             self._commit(m, kept_files=m["files"], new_files=[], epoch_id=epoch_id,
                          batch_max_lsn=batch_max_lsn)
             return {"status": "committed", "epoch_id": epoch_id, "touched_buckets": [],
                     "files_written": 0}
 
-        current = self.snapshot(buckets=touched)
-        survivors = current.join(F.broadcast(batch_keys), on=self.key, how="left_anti") \
-                           .select(*cols)
-        contested_cur = (
-            current.join(F.broadcast(batch_keys), on=self.key, how="left_semi")
-            .select(*cols)
-            .withColumn("op", F.lit("U"))  # an existing row defends with its own lsn
-        )
+        if strategy == "auto":
+            strategy = (
+                "broadcast"
+                if n_changes is not None and n_changes <= self.broadcast_merge_max_keys
+                else "shuffle" if n_changes is not None else "broadcast"
+            )
+
         from ..operators.dedup import last_wins
 
-        fight = changes.select(*cols, "op").unionByName(contested_cur)
-        winners = last_wins(fight, key=self.key, order=(order_col,))
-        upserts = winners.where(F.col("op") != "D").select(*cols)
-
-        merged = survivors.unionByName(upserts)
+        current = self.snapshot(buckets=touched)
+        if strategy == "broadcast":
+            survivors = current.join(F.broadcast(batch_keys), on=self.key, how="left_anti") \
+                               .select(*cols)
+            contested_cur = (
+                current.join(F.broadcast(batch_keys), on=self.key, how="left_semi")
+                .select(*cols)
+                .withColumn("op", F.lit("U"))  # existing row defends with its own lsn
+            )
+            fight = changes.select(*cols, "op").unionByName(contested_cur)
+            winners = last_wins(fight, key=self.key, order=(order_col,))
+            merged = survivors.unionByName(winners.where(F.col("op") != "D").select(*cols))
+        else:
+            fight = changes.select(*cols, "op").unionByName(
+                current.select(*cols).withColumn("op", F.lit("U"))
+            )
+            winners = last_wins(fight, key=self.key, order=(order_col,))
+            merged = winners.where(F.col("op") != "D").select(*cols)
         merged = merged.withColumn("__bucket", bucket_expr(self.key[0], self.n_buckets))
 
-        # Rewrite touched buckets: one output dir per commit, partitioned by bucket.
+        # Rewrite touched buckets: one output dir per commit, partitioned by
+        # bucket, one writer task per touched bucket → exactly one file per
+        # bucket per commit (AQE-coalesced writes over-serialize small
+        # batches; fixed per-bucket tasks measured fastest at both 8 and 32
+        # cores).
         commit_id = uuid.uuid4().hex[:12]
         out_dir = f"{self.root}/data/commit={commit_id}"
-        (merged.repartition(max(len(touched), 1), "__bucket")
+        (merged.repartition(max(1, len(touched)), "__bucket")
                .write.mode("overwrite").partitionBy("__bucket").parquet(out_dir))
 
         # Enumerate written files per bucket (driver-side metadata only).

@@ -56,24 +56,30 @@ class ChangeApplier:
             # replayed microbatch after crash-before-checkpoint: no-op
             return {"status": "skipped_replay", "epoch_id": epoch_id}
 
-        # The batch is re-read several times (bounds, dedup, merge) — cache it.
-        batch = batch.persist()
+        # NOTE: the batch is deliberately NOT cached — it is re-read twice
+        # (stats, dedup input) but the source is columnar (parquet microbatch
+        # file or an already-cached upstream), and caching every microbatch
+        # churns the block manager / old-gen at high core counts (measured:
+        # erratic multi-second stalls at local[32]).
         dedup = None
         try:
-            valid, quarantined = split_valid(batch)
-            # One pass for all batch-level stats (valid bounds + invalid count)
-            # instead of separate count()/agg() jobs.
+            from pyspark.sql import Observation
+
             from ..operators.routing import validity_predicate
 
+            # Batch-level stats (valid lsn bounds + invalid count) ride the
+            # dedup pass as an Observation — zero extra jobs/scans (the
+            # reference piggybacks its counters on the consume loop the same
+            # way, A5).
             vp = validity_predicate()
-            stats_row = batch.agg(
+            obs = Observation(f"cdc_batch_{epoch_id}")
+            observed = batch.observe(
+                obs,
                 F.sum(F.when(~F.coalesce(vp, F.lit(False)), 1).otherwise(0)).alias("nq"),
                 F.min(F.when(vp, F.col("lsn"))).alias("mn"),
                 F.max(F.when(vp, F.col("lsn"))).alias("mx"),
-            ).first()
-            n_quarantined = int(stats_row["nq"] or 0)
-            if n_quarantined and self.quarantine_dir:
-                quarantined.write.mode("append").parquet(self.quarantine_dir)
+            )
+            valid, quarantined = split_valid(observed)
 
             # schema evolution BEFORE apply: v2 events may add columns/widen
             self.table.evolve_schema(valid.drop("op", "schema_version").schema)
@@ -81,6 +87,26 @@ class ChangeApplier:
 
             dedup = last_wins_salted(valid, n_salts=self.n_salts) if self.salted else last_wins(valid)
             dedup = dedup.persist()
+
+            # Job 1: per-bucket lineage aggregate over the winners.  This one
+            # action materializes the dedup cache, fires the Observation, and
+            # yields both the touched-bucket set and the lineage counters
+            # (≤ n_buckets rows to the driver).
+            per_bucket = (
+                dedup.withColumn("__bucket", bucket_expr(self.table.key[0], self.table.n_buckets))
+                .groupBy("__bucket")
+                .agg(
+                    F.sum(F.when(F.col("op") != "D", 1).otherwise(0)).alias("rows_upserted"),
+                    F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("rows_deleted"),
+                    F.min("lsn").alias("lsn_from"),
+                    F.max("lsn").alias("lsn_to"),
+                )
+                .collect()
+            )
+            stats_row = obs.get
+            n_quarantined = int(stats_row["nq"] or 0)
+            if n_quarantined and self.quarantine_dir:
+                quarantined.write.mode("append").parquet(self.quarantine_dir)
 
             # project winners into target schema + op (lsn records the applied
             # version; columns missing from an old-schema batch become null)
@@ -92,49 +118,57 @@ class ChangeApplier:
                     cols.append(F.lit(None).cast(f.dataType).alias(f.name))
             changes = dedup.select(*cols, "op")
 
-            bounds = stats_row
+            # Job 2: the MERGE itself (touched buckets + change count known
+            # from the lineage aggregate → strategy picked without extra jobs)
+            n_changes = sum(r["rows_upserted"] + r["rows_deleted"] for r in per_bucket)
             stats = self.table.merge(
-                changes, epoch_id=epoch_id, batch_max_lsn=bounds["mx"]
+                changes,
+                epoch_id=epoch_id,
+                batch_max_lsn=stats_row["mx"],
+                touched=[r["__bucket"] for r in per_bucket],
+                n_changes=n_changes,
             )
             if stats["status"] == "committed":
-                self._write_lineage(
-                    spark, epoch_id, dedup, bounds, n_quarantined
-                )
+                self._write_lineage(epoch_id, per_bucket, n_quarantined)
             stats["rows_quarantined"] = n_quarantined
             return stats
         finally:
-            batch.unpersist()
             if dedup is not None:
                 dedup.unpersist()
 
-    def _write_lineage(self, spark: SparkSession, epoch_id, dedup, bounds, n_q):
-        """Per-partition lineage manifest rows (FIXTURES.md §3)."""
+    def _write_lineage(self, epoch_id, per_bucket_rows, n_q):
+        """Per-partition lineage manifest rows (FIXTURES.md §3), appended
+        driver-side as JSON lines — ≤ n_buckets tiny rows per microbatch, so
+        a Spark write job would be pure overhead.  Queryable via
+        ``lineage()`` (spark.read.json with the declared schema)."""
         if not self.lineage_dir:
             return
-        per_bucket = (
-            dedup.withColumn("__bucket", bucket_expr(self.table.key[0], self.table.n_buckets))
-            .groupBy("__bucket")
-            .agg(
-                F.sum(F.when(F.col("op") != "D", 1).otherwise(0)).alias("rows_upserted"),
-                F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("rows_deleted"),
-                F.min("lsn").alias("lsn_from"),
-                F.max("lsn").alias("lsn_to"),
-            )
-        )
-        rows = per_bucket.select(
-            F.lit(int(epoch_id)).cast("long").alias("epoch_id"),
-            F.col("__bucket").cast("int").alias("partition_id"),
-            F.col("lsn_from").cast("long"),
-            F.col("lsn_to").cast("long"),
-            F.col("rows_upserted").cast("long"),
-            F.col("rows_deleted").cast("long"),
-            F.lit(int(n_q)).cast("long").alias("rows_quarantined"),
-            F.current_timestamp().alias("committed_at"),
-        )
-        rows.write.mode("append").parquet(self.lineage_dir)
+        import json
+        import os
+        import time
+
+        os.makedirs(self.lineage_dir, exist_ok=True)
+        now = time.strftime("%Y-%m-%dT%H:%M:%S")
+        with open(f"{self.lineage_dir}/epoch-{int(epoch_id):012d}.json", "w") as f:
+            for r in per_bucket_rows:
+                f.write(
+                    json.dumps(
+                        {
+                            "epoch_id": int(epoch_id),
+                            "partition_id": int(r["__bucket"]),
+                            "lsn_from": r["lsn_from"],
+                            "lsn_to": r["lsn_to"],
+                            "rows_upserted": r["rows_upserted"],
+                            "rows_deleted": r["rows_deleted"],
+                            "rows_quarantined": int(n_q),
+                            "committed_at": now,
+                        }
+                    )
+                    + "\n"
+                )
 
     def lineage(self) -> DataFrame:
-        return self.table.spark.read.schema(schemas.LINEAGE_SCHEMA).parquet(self.lineage_dir)
+        return self.table.spark.read.schema(schemas.LINEAGE_SCHEMA).json(self.lineage_dir)
 
 
 def replay_batch_range(
