@@ -105,10 +105,28 @@ class TranscriptTable:
     def _manifest_path(self, version: int) -> str:
         return f"{self.root}/_manifests/manifest-{version:012d}.json"
 
-    def manifest(self) -> dict:
-        v = self._current_version()
+    def manifest(self, version: int | None = None) -> dict:
+        v = self._current_version() if version is None else version
         with open(self._manifest_path(v)) as f:
             return json.load(f)
+
+    def history(self) -> list[dict]:
+        """All committed snapshot versions (time travel index): one dict per
+        manifest with version, committed epochs, cursor.  Iceberg-style
+        snapshot log — old manifests are retained, so any past version can
+        be read back with ``snapshot(version=...)``."""
+        out = []
+        for name in sorted(os.listdir(f"{self.root}/_manifests")):
+            if name.startswith("manifest-"):
+                with open(f"{self.root}/_manifests/{name}") as f:
+                    m = json.load(f)
+                out.append(
+                    {"version": m["version"], "cursor_lsn": m["cursor_lsn"],
+                     "n_files": len(m["files"]),
+                     "committed_epochs": m["committed_epochs"],
+                     "committed_at": m.get("committed_at")}
+                )
+        return out
 
     def _write_manifest(self, version: int, manifest: dict) -> None:
         """Write manifest file, then atomically swing the CURRENT pointer."""
@@ -169,14 +187,18 @@ class TranscriptTable:
 
     # ---------------- reads ----------------
 
-    def snapshot(self, buckets: list[int] | None = None) -> DataFrame:
-        """Current committed state (optionally pruned to a bucket subset).
+    def snapshot(self, buckets: list[int] | None = None,
+                 version: int | None = None) -> DataFrame:
+        """Committed state (optionally pruned to a bucket subset), at the
+        current version or any past one (time travel).
 
-        File groups are read per schema-id and cast up to the current schema
-        — the scan-time cast Iceberg does for old data files.
+        File groups are read per schema-id and cast up to that version's
+        schema — the scan-time cast Iceberg does for old data files.
         """
-        m = self.manifest()
-        target = self.schema
+        m = self.manifest(version)
+        target = T.StructType.fromJson(
+            json.loads(m["schemas"][str(m["current_schema_id"])])
+        )
         files = m["files"]
         if buckets is not None:
             bset = set(buckets)

@@ -103,7 +103,16 @@ class ChangeApplier:
                 )
                 .collect()
             )
-            stats_row = obs.get
+            try:
+                stats_row = obs.get
+            except Exception:
+                # degenerate (e.g. empty) batch: the observed metrics row may
+                # be unavailable — fall back to a direct aggregate
+                stats_row = batch.agg(
+                    F.sum(F.when(~F.coalesce(vp, F.lit(False)), 1).otherwise(0)).alias("nq"),
+                    F.min(F.when(vp, F.col("lsn"))).alias("mn"),
+                    F.max(F.when(vp, F.col("lsn"))).alias("mx"),
+                ).first()
             n_quarantined = int(stats_row["nq"] or 0)
             if n_quarantined and self.quarantine_dir:
                 quarantined.write.mode("append").parquet(self.quarantine_dir)

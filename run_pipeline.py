@@ -50,6 +50,10 @@ def main():
     v.add_argument("--source", required=True)
     v.add_argument("--table", required=True)
 
+    r = sub.add_parser("report")
+    r.add_argument("--table", required=True)
+    r.add_argument("--lineage", default=None)
+
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -104,6 +108,35 @@ def main():
             got, expected, key=("conv_id", "turn_idx"), compare_cols=["text", "role", "lsn"]
         )
         print(json.dumps({"verified": True, **stats}))
+
+    elif args.cmd == "report":
+        # status-service serving analogue (S10/Q7/Q8/A3): progress, intervals,
+        # gaps and lineage as one JSON document
+        from go_data_publisher_spark.operators.sequencing import detect_gaps, group_intervals
+
+        tbl = TranscriptTable(spark, args.table)
+        m = tbl.manifest()
+        snap = tbl.snapshot()
+        intervals = group_intervals(
+            snap.withColumn("__all", F.lit(1)), ["__all"], "lsn"
+        ).first()
+        gaps = detect_gaps(
+            snap.withColumn("__all", F.lit(1)), ["__all"], "lsn", min_gap=1000
+        ).count()
+        report = {
+            "version": m["version"],
+            "cursor_lsn": m["cursor_lsn"],
+            "committed_epochs": m["committed_epochs"],
+            "rows": snap.count(),
+            "lsn_range": [intervals["from_lsn"], intervals["to_lsn"]] if intervals else None,
+            "large_gaps": gaps,
+            "history": tbl.history()[-5:],
+        }
+        if args.lineage:
+            lin = spark.read.json(args.lineage)
+            report["lineage_epochs"] = lin.select("epoch_id").distinct().count()
+            report["rows_upserted_total"] = lin.agg(F.sum("rows_upserted")).first()[0]
+        print(json.dumps(report, default=str))
 
 
 if __name__ == "__main__":
