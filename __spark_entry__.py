@@ -390,6 +390,37 @@ SQL_DOCS_FINGERPRINT = """
 """
 
 
+def q_docs_transcode(spark, sf_dir):
+    """F8 parity: hex → bytes → base64 transcode, all JVM built-ins
+    (reference: transactions-producer/external/archiver/client.go:56-85)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.base64(F.unhex(F.md5(F.lower(F.col("text"))))).alias("b64"),
+    )
+
+
+SQL_DOCS_TRANSCODE = """
+  SELECT doc_id, to_base64(unhex(md5(lower(text)))) AS b64 FROM documents
+"""
+
+
+def q_batch_bounds(spark, sf_dir):
+    """A4 parity: min/max gauge over a batch slice."""
+    ev = _t(spark, sf_dir, "events")
+    return Q.next_range(ev, "event_id", cursor=4000, head=9000).agg(
+        F.min("event_id").alias("lsn_min"),
+        F.max("event_id").alias("lsn_max"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+SQL_BATCH_BOUNDS = """
+  SELECT min(event_id) AS lsn_min, max(event_id) AS lsn_max, count(*) AS n_rows
+  FROM events WHERE event_id > 4000 AND event_id <= 9000
+"""
+
+
 def q_docs_lang_stats(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.groupBy("lang").agg(
@@ -555,6 +586,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_docs": q_dedup_exact_docs,
         "docs_token_stats": q_docs_token_stats,
         "docs_fingerprint": q_docs_fingerprint,
+        "docs_transcode": q_docs_transcode,
+        "batch_bounds": q_batch_bounds,
         "docs_lang_stats": q_docs_lang_stats,
         "emb_cosine_scores": q_emb_cosine_scores,
         "emb_topk": q_emb_topk,
@@ -588,6 +621,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_docs": SQL_DEDUP_EXACT_DOCS,
         "docs_token_stats": SQL_DOCS_TOKEN_STATS,
         "docs_fingerprint": SQL_DOCS_FINGERPRINT,
+        "docs_transcode": SQL_DOCS_TRANSCODE,
+        "batch_bounds": SQL_BATCH_BOUNDS,
         "docs_lang_stats": SQL_DOCS_LANG_STATS,
         "emb_cosine_scores": SQL_EMB_COSINE_SCORES,
         "emb_topk": SQL_EMB_TOPK,

@@ -91,6 +91,10 @@ def main():
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     spark = get_spark(app_name="bench", cores=CPUS)
 
+    # warm-up: JVM, codegen, parquet reader — outside every timed region
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{SF_DIR}/events.parquet").limit(10).collect()
+
     queries = E.queries()
     per_query = {}
     total = 0.0
