@@ -41,12 +41,25 @@ class ChangeApplier:
         lineage_dir: str | None = None,
         salted: bool = False,
         n_salts: int = 8,
+        route_sql: str | None = None,
+        ephemeral_table: TranscriptTable | None = None,
     ):
+        """``route_sql`` + ``ephemeral_table``: F3 routing — winners matching
+        the predicate are merged into a second target instead of the main
+        one (the reference's ephemeral-transactions index,
+        transactions-consumer/consume/transaction_consumer.go:118-123,
+        134-146; both bulk writes commit before the offset commit, which here
+        means both tables' manifests record the epoch before foreachBatch
+        returns)."""
         self.table = table
         self.quarantine_dir = quarantine_dir
         self.lineage_dir = lineage_dir
         self.salted = salted
         self.n_salts = n_salts
+        self.route_sql = route_sql
+        self.ephemeral_table = ephemeral_table
+        if (route_sql is None) != (ephemeral_table is None):
+            raise ValueError("route_sql and ephemeral_table must be set together")
 
     # -- called by foreachBatch and by the batch driver ----------------------
 
@@ -130,13 +143,29 @@ class ChangeApplier:
             # Job 2: the MERGE itself (touched buckets + change count known
             # from the lineage aggregate → strategy picked without extra jobs)
             n_changes = sum(r["rows_upserted"] + r["rows_deleted"] for r in per_bucket)
-            stats = self.table.merge(
-                changes,
-                epoch_id=epoch_id,
-                batch_max_lsn=stats_row["mx"],
-                touched=[r["__bucket"] for r in per_bucket],
-                n_changes=n_changes,
-            )
+            if self.route_sql is not None:
+                # F3 dual-target routing: split winners by predicate; each
+                # target computes its own touched-bucket set
+                eph = changes.where(F.expr(self.route_sql))
+                perm = changes.where(
+                    ~F.coalesce(F.expr(self.route_sql), F.lit(False))
+                )
+                self.ephemeral_table.merge(
+                    eph, epoch_id=epoch_id, batch_max_lsn=stats_row["mx"],
+                    n_changes=n_changes,
+                )
+                stats = self.table.merge(
+                    perm, epoch_id=epoch_id, batch_max_lsn=stats_row["mx"],
+                    n_changes=n_changes,
+                )
+            else:
+                stats = self.table.merge(
+                    changes,
+                    epoch_id=epoch_id,
+                    batch_max_lsn=stats_row["mx"],
+                    touched=[r["__bucket"] for r in per_bucket],
+                    n_changes=n_changes,
+                )
             if stats["status"] == "committed":
                 self._write_lineage(epoch_id, per_bucket, n_quarantined)
             stats["rows_quarantined"] = n_quarantined

@@ -36,6 +36,7 @@ def run_stream(
     available_now: bool = True,
     fail_after_batches: int | None = None,
     metrics_path: str | None = None,
+    wire_format: bool = False,
 ):
     """Run the CDC stream until the source is drained (availableNow).
 
@@ -43,15 +44,31 @@ def run_stream(
     the kill/resume tests to prove checkpoint recovery + replay idempotence.
     ``metrics_path`` attaches a MicrobatchMetricsListener writing one JSON
     row per progress event (A5).
+    ``wire_format=True`` reads Kafka-shaped records — (key binary, value
+    string JSON) — and decodes them with the wire codec (the reference's
+    consumer-side json.Unmarshal, transaction_consumer.go:112-116).  On a
+    real cluster, replace the file source with `.format("kafka")`; everything
+    from the decode down is identical.
     """
     from pyspark.sql import functions as F
 
     schema = schema or schemas.CHANGE_EVENT_SCHEMA
-    src = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(source_dir)
-    )
+    if wire_format:
+        wire_schema = "key binary, value string"
+        raw = (
+            spark.readStream.schema(wire_schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(source_dir)
+        )
+        from ..functions.codecs import from_wire
+
+        src = from_wire(raw, schema)
+    else:
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(source_dir)
+        )
     # zero-cost batch counters piggybacked on the stream pass (A5)
     src = src.observe(
         "cdc_batch", F.count(F.lit(1)).alias("rows"),
