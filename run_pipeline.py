@@ -38,6 +38,11 @@ def main():
     s.add_argument("--max-files-per-trigger", type=int, default=1)
     s.add_argument("--lineage", default=None)
     s.add_argument("--metrics", default=None)
+    s.add_argument("--wire-format", action="store_true",
+                   help="source is Kafka-shaped (key binary, value json)")
+    s.add_argument("--route-sql", default=None,
+                   help="predicate routing winners to --ephemeral-table")
+    s.add_argument("--ephemeral-table", default=None)
 
     b = sub.add_parser("batch")
     b.add_argument("--source", required=True)
@@ -76,11 +81,14 @@ def main():
 
     elif args.cmd == "stream":
         tbl = TranscriptTable(spark, args.table, n_buckets=args.buckets)
+        eph = (TranscriptTable(spark, args.ephemeral_table, n_buckets=args.buckets)
+               if args.ephemeral_table else None)
         app = ChangeApplier(tbl, lineage_dir=args.lineage,
-                            quarantine_dir=f"{args.table}/_quarantine")
+                            quarantine_dir=f"{args.table}/_quarantine",
+                            route_sql=args.route_sql, ephemeral_table=eph)
         state = run_stream(spark, args.source, app, args.checkpoint,
                            max_files_per_trigger=args.max_files_per_trigger,
-                           metrics_path=args.metrics)
+                           metrics_path=args.metrics, wire_format=args.wire_format)
         print(json.dumps({"applied_batches": state["applied"]}))
 
     elif args.cmd == "batch":
