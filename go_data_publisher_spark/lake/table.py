@@ -371,6 +371,37 @@ class TranscriptTable:
 
     # ---------------- maintenance ----------------
 
+    def vacuum(self, keep_versions: int = 2) -> dict:
+        """Garbage-collect: delete data files not referenced by the newest
+        ``keep_versions`` manifests, and drop older manifests (bounding time
+        travel).  Crash-safe: files are unlinked only after the surviving
+        manifest set is known; a reader of a retained version never loses a
+        file.  (Iceberg's expire_snapshots + remove_orphan_files.)"""
+        cur = self._current_version()
+        versions = sorted(
+            int(n.split("-")[1].split(".")[0])
+            for n in os.listdir(f"{self.root}/_manifests")
+            if n.startswith("manifest-")
+        )
+        keep = set(v for v in versions if v > cur - keep_versions) | {cur}
+        live: set[str] = set()
+        for v in keep:
+            live |= {f["path"] for f in self.manifest(v)["files"]}
+        removed_files = 0
+        for dirpath, _dirs, files in os.walk(f"{self.root}/data"):
+            for name in files:
+                p = f"{dirpath}/{name}"
+                if name.endswith(".parquet") and p not in live:
+                    os.unlink(p)
+                    removed_files += 1
+        removed_manifests = 0
+        for v in versions:
+            if v not in keep:
+                os.unlink(self._manifest_path(v))
+                removed_manifests += 1
+        return {"removed_files": removed_files, "removed_manifests": removed_manifests,
+                "kept_versions": sorted(keep)}
+
     def compact(self) -> None:
         """Rewrite every bucket to one file group at the current schema."""
         df = self.snapshot().withColumn("__bucket", bucket_expr(self.key[0], self.n_buckets))

@@ -1,0 +1,51 @@
+"""Table maintenance: compaction and vacuum (snapshot expiry + orphan GC)."""
+
+import os
+
+from go_data_publisher_spark.lake.table import TranscriptTable
+from go_data_publisher_spark.sources.changelog import generate_changelog
+from go_data_publisher_spark.streaming.apply import ChangeApplier, replay_batch_range
+from pyspark.sql import functions as F
+
+
+def _count_data_files(root):
+    n = 0
+    for dirpath, _dirs, files in os.walk(f"{root}/data"):
+        n += sum(1 for f in files if f.endswith(".parquet"))
+    return n
+
+
+def test_compact_and_vacuum(spark, tmpdir_path):
+    root = f"{tmpdir_path}/tbl"
+    tbl = TranscriptTable(spark, root, n_buckets=4)
+    app = ChangeApplier(tbl)
+    log = generate_changelog(spark, 2000, n_convs=40, seed=51).persist()
+    lo, hi = log.agg(F.min("lsn"), F.max("lsn")).first()
+    span = (hi - lo) // 4 + 1
+    bounds = [(lo + i * span, min(hi, lo + (i + 1) * span - 1)) for i in range(4)]
+    replay_batch_range(app, log, bounds)
+
+    before_rows = sorted(tbl.snapshot().collect())
+    files_before = _count_data_files(root)
+    assert files_before > 4  # several commits' worth
+
+    tbl.compact()
+    assert sorted(tbl.snapshot().collect()) == before_rows
+
+    stats = tbl.vacuum(keep_versions=1)
+    assert stats["removed_files"] > 0 and stats["removed_manifests"] > 0
+    # current snapshot unaffected; all remaining files referenced
+    assert sorted(tbl.snapshot().collect()) == before_rows
+    live = {f["path"] for f in tbl.manifest()["files"]}
+    on_disk = set()
+    for dirpath, _dirs, files in os.walk(f"{root}/data"):
+        on_disk |= {f"{dirpath}/{f}" for f in files if f.endswith(".parquet")}
+    kept_manifest_refs = set()
+    for h in tbl.history():
+        kept_manifest_refs |= {f["path"] for f in tbl.manifest(h["version"])["files"]}
+    assert on_disk == kept_manifest_refs
+    assert live <= on_disk
+
+    # replay guard survives vacuum (committed_epochs kept in current manifest)
+    stats2 = app.apply_batch(log.where(F.col("lsn").between(*bounds[0])), epoch_id=0)
+    assert stats2["status"] == "skipped_replay"
