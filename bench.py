@@ -52,9 +52,14 @@ def time_query(spark, fn, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
-def bench_merge_throughput(spark, n_events: int, n_chunks: int = 8) -> dict:
+def bench_merge_throughput(spark, n_events: int, n_chunks: int = 4) -> dict:
     """End-to-end binlog-replay merge throughput: generate a deterministic
-    change log, replay it through dedup + bucketed MERGE, report events/sec."""
+    change log, replay it through dedup + bucketed MERGE, report events/sec.
+
+    The scratch table lives on tmpfs when available: this sandbox's single
+    virtio disk has multi-second stalls under concurrent writers, which
+    measures the disk, not the engine (a cluster's executors write to their
+    own local disks / object store)."""
     from go_data_publisher_spark.lake.table import TranscriptTable
     from go_data_publisher_spark.sources.changelog import generate_changelog
     from go_data_publisher_spark.streaming.apply import ChangeApplier, replay_batch_range
@@ -63,7 +68,8 @@ def bench_merge_throughput(spark, n_events: int, n_chunks: int = 8) -> dict:
     log = log.persist()
     n = log.count()  # materialize input outside the timed region
 
-    root = tempfile.mkdtemp(prefix="cdc_bench_")
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="cdc_bench_", dir=scratch)
     try:
         tbl = TranscriptTable(spark, f"{root}/tbl", n_buckets=32)
         app = ChangeApplier(tbl, lineage_dir=f"{root}/lineage")

@@ -41,13 +41,15 @@ from go_data_publisher_spark.lake.table import TranscriptTable
 from go_data_publisher_spark.streaming.apply import ChangeApplier, replay_batch_range
 from pyspark.sql import functions as F
 
+import os
 cores, n_events, n_chunks = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
 spark = get_spark(app_name=f"scalebench-{cores}", cores=cores, shuffle_partitions=32,
                   extra_conf={"spark.driver.memory": "48g"})
 log = generate_changelog(spark, n_events, n_convs=max(200, n_events // 500),
                          seed=42, n_partitions=32).persist()
 cnt = log.count()
-root = tempfile.mkdtemp(prefix="scale_")
+root = tempfile.mkdtemp(prefix="scale_",
+                        dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
 try:
     tbl = TranscriptTable(spark, f"{root}/tbl", n_buckets=32)
     app = ChangeApplier(tbl, lineage_dir=f"{root}/lineage")
