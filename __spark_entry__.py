@@ -245,19 +245,11 @@ SQL_RANGE_JOIN = """
 
 
 def q_monotonicity(spark, sf_dir):
-    from pyspark.sql import Window
-
-    ev = _t(spark, sf_dir, "events")
-    w = Window.orderBy("event_id")
-    return (
-        ev.select("event_id", "ts")
-        .withColumn("__prev", F.lag("ts").over(w))
-        .agg(
-            F.sum(
-                F.when(F.col("__prev").isNotNull() & (F.col("ts") < F.col("__prev")), 1).otherwise(0)
-            ).cast("long").alias("n_violations")
-        )
-    )
+    """Q6 at scale: range-partitioned violation count + O(n_parts) boundary
+    stitch — no global-window single-reducer pass (see
+    operators/sequencing.py:verify_monotonic)."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts")
+    return Q.verify_monotonic(ev, "event_id", attr_cols=("ts",), strict=False)
 
 
 SQL_MONOTONICITY = """
@@ -500,9 +492,77 @@ def q_docs_lang_id_udf(spark, sf_dir):
     return docs.select("doc_id", TX.lang_id(F.col("text")).alias("lang_guess"))
 
 
+SQL_DOCS_LANG_ID = r"""
+  WITH s AS (
+    SELECT doc_id, ' ' || lower(text) || ' ' AS t,
+           regexp_matches(text, '[\x{4E00}-\x{9FFF}]') AS has_cjk
+    FROM documents
+  ), c AS (
+    SELECT doc_id, has_cjk,
+      len(regexp_extract_all(t,'\sthe\s'))+len(regexp_extract_all(t,'\sand\s'))+len(regexp_extract_all(t,'\sof\s'))+len(regexp_extract_all(t,'\sis\s'))+len(regexp_extract_all(t,'\sto\s')) AS en,
+      len(regexp_extract_all(t,'\sder\s'))+len(regexp_extract_all(t,'\sdie\s'))+len(regexp_extract_all(t,'\sund\s'))+len(regexp_extract_all(t,'\sist\s'))+len(regexp_extract_all(t,'\sdas\s')) AS de,
+      len(regexp_extract_all(t,'\sle\s'))+len(regexp_extract_all(t,'\sla\s'))+len(regexp_extract_all(t,'\sles\s'))+len(regexp_extract_all(t,'\sest\s'))+len(regexp_extract_all(t,'\sune\s')) AS fr,
+      len(regexp_extract_all(t,'\sel\s'))+len(regexp_extract_all(t,'\slos\s'))+len(regexp_extract_all(t,'\sque\s'))+len(regexp_extract_all(t,'\suna\s'))+len(regexp_extract_all(t,'\ses\s')) AS es
+    FROM s
+  )
+  SELECT doc_id,
+         CASE WHEN has_cjk THEN 'zh'
+              WHEN greatest(en,de,fr,es) = 0 THEN 'und'
+              WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+              WHEN de >= fr AND de >= es THEN 'de'
+              WHEN fr >= es THEN 'fr'
+              ELSE 'es' END AS lang_guess
+  FROM c
+"""
+
+
 def q_docs_quality_udf(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", F.round(TX.quality_score(F.col("text")), 4).alias("quality"))
+    return docs.select(
+        "doc_id",
+        (F.round(TX.quality_score(F.col("text")), 4) + 0.0).alias("quality"),
+    )
+
+
+SQL_DOCS_QUALITY = r"""
+  WITH f AS (
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+           len(regexp_extract_all(text, '[^\w\s]')) AS n_punct
+    FROM documents
+  )
+  SELECT doc_id,
+         round((
+           (CASE WHEN n_chars >= 20 AND n_chars <= 20000 THEN 1.0 ELSE 0.3 END) +
+           (CASE WHEN n_chars / greatest(n_tokens, 1) >= 3
+                  AND n_chars / greatest(n_tokens, 1) <= 12 THEN 1.0 ELSE 0.5 END) +
+           (CASE WHEN n_punct / greatest(n_chars, 1) <= 0.2 THEN 1.0 ELSE 0.4 END)
+         ) / 3.0, 4) + 0.0 AS quality
+  FROM f
+"""
+
+
+def q_emb_near_dup(spark, sf_dir):
+    """Banded RHP LSH near-dup with exact cosine verify.  Oracle = brute-force
+    all-pairs SQL: the verify stage makes precision exact, and at this
+    threshold/band setting recall is complete on the test corpora (pinned by
+    the pytest brute-force-equality oracle in test_textdedup_similarity)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = TD.embedding_near_duplicates(emb, threshold=0.9, n_planes=4, n_bands=16)
+    return pairs.select("id_a", "id_b", (F.round("cosine", 3) + 0.0).alias("cosine_r3"))
+
+
+SQL_EMB_NEAR_DUP = """
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_dot_product(a.embedding, b.embedding) /
+               (sqrt(list_dot_product(a.embedding, a.embedding)) *
+                sqrt(list_dot_product(b.embedding, b.embedding))), 3) + 0.0 AS cosine_r3
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_dot_product(a.embedding, b.embedding) /
+        (sqrt(list_dot_product(a.embedding, a.embedding)) *
+         sqrt(list_dot_product(b.embedding, b.embedding))) >= 0.9
+"""
 
 
 def q_emb_ann_lsh(spark, sf_dir):
@@ -591,11 +651,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_lang_stats": q_docs_lang_stats,
         "emb_cosine_scores": q_emb_cosine_scores,
         "emb_topk": q_emb_topk,
-        # rows-only (non-SQL-expressible hash families / engine state / UDFs)
-        "minhash_pairs_docs": q_minhash_pairs_docs,
-        "simhash_pairs_docs": q_simhash_pairs_docs,
         "docs_lang_id_udf": q_docs_lang_id_udf,
         "docs_quality_udf": q_docs_quality_udf,
+        "emb_near_dup": q_emb_near_dup,
+        # rows-only (non-SQL-expressible hash families / engine state)
+        "minhash_pairs_docs": q_minhash_pairs_docs,
+        "simhash_pairs_docs": q_simhash_pairs_docs,
         "emb_ann_lsh": q_emb_ann_lsh,
     }
 
@@ -626,4 +687,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_lang_stats": SQL_DOCS_LANG_STATS,
         "emb_cosine_scores": SQL_EMB_COSINE_SCORES,
         "emb_topk": SQL_EMB_TOPK,
+        "docs_lang_id_udf": SQL_DOCS_LANG_ID,
+        "docs_quality_udf": SQL_DOCS_QUALITY,
+        "emb_near_dup": SQL_EMB_NEAR_DUP,
     }

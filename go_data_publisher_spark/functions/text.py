@@ -155,20 +155,71 @@ def _fingerprint64_impl(text: pd.Series) -> pd.Series:
     return pd.Series(out.astype(np.int64))
 
 
-def simhash64(text: Column, shingle_size: int = 3) -> Column:
-    """SimHash over word shingles, composed from Catalyst built-ins:
-    shingle → xxhash64 → per-bit majority vote → 64-bit signature.
-
-    Pure column expressions (no Python); the per-bit vote unrolls to 64
-    aggregate-free array ops on each row's shingle-hash array.
-    """
+def _shingle_hashes(text: Column, shingle_size: int) -> Column:
+    """Word-shingle xxhash64 array (JVM-side — the hash family must be
+    identical in both simhash implementations)."""
     words = F.split(normalize_text(text), " ")
     n = F.size(words)
     idx = F.sequence(F.lit(0), F.greatest(n - shingle_size, F.lit(0)))
     shingles = F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, shingle_size))
     )
-    hashes = F.transform(shingles, lambda s: F.xxhash64(s))
+    return F.transform(shingles, lambda s: F.xxhash64(s))
+
+
+@functools.lru_cache(maxsize=None)
+def _simhash_vote_udf():
+    @pandas_udf("long")
+    def _vote(hashes: pd.Series) -> pd.Series:
+        return _simhash_vote_impl(hashes)
+
+    return _vote
+
+
+def _simhash_vote_impl(hashes: pd.Series) -> pd.Series:
+    """Single-pass per-bit majority vote over each row's shingle-hash array.
+
+    numpy-vectorized across the whole Arrow batch: unpack all hashes to a
+    (total_shingles, 64) bit matrix once, segment-sum per row with
+    add.reduceat — O(shingles·64) bit ops total, vs the 64 separate
+    Catalyst aggregate passes of the expression form.
+    """
+    n = len(hashes)
+    if n == 0:
+        return pd.Series([], dtype="int64")
+    arrays = [np.asarray(a if a is not None else [], dtype=np.uint64) for a in hashes]
+    lens = np.array([len(a) for a in arrays], dtype=np.int64)
+    flat = np.concatenate(arrays) if lens.sum() else np.zeros(0, dtype=np.uint64)
+    bits = ((flat[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+    ones = np.zeros((n, 64), dtype=np.int64)
+    nonempty = lens > 0
+    if nonempty.any():
+        offsets = np.concatenate(([0], np.cumsum(lens)))[:-1][nonempty]
+        ones[nonempty] = np.add.reduceat(bits, offsets, axis=0)
+    # bit set iff strictly more ones than zeros: 2*ones > len
+    set_bits = (2 * ones) > lens[:, None]
+    weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+    sig = (set_bits.astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
+    return pd.Series(sig.view(np.int64) if sig.dtype == np.uint64 else sig).astype("int64")
+
+
+def simhash64(text: Column, shingle_size: int = 3) -> Column:
+    """SimHash over word shingles: shingle → xxhash64 (JVM) → per-bit
+    majority vote (Arrow-batched numpy, one pass) → 64-bit signature.
+
+    Identical output to `simhash64_expr` (pinned by a parity test); the
+    vectorized vote replaces 64 Catalyst aggregate passes over each row's
+    shingle-hash array with one numpy segment-sum per batch.
+    """
+    return _simhash_vote_udf()(_shingle_hashes(text, shingle_size))
+
+
+def simhash64_expr(text: Column, shingle_size: int = 3) -> Column:
+    """SimHash vote as pure Catalyst expressions (zero Python) — the
+    reference implementation for the parity test; the per-bit vote unrolls
+    to 64 aggregate passes over the shingle-hash array, which is ~an order
+    more work than the vectorized vote."""
+    hashes = _shingle_hashes(text, shingle_size)
     # bit votes: for each bit b, sum(+1 if set else -1) over shingle hashes
     def _vote(mask):
         return F.aggregate(

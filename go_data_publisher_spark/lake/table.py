@@ -1,4 +1,4 @@
-"""Manifest-committed, hash-bucketed lake table — the MERGE target.
+"""Manifest-committed, hash-bucketed, merge-on-read lake table — the MERGE target.
 
 This is the Iceberg-fallback backend from SURVEY.md §7 (no Iceberg runtime jar
 ships in this environment).  It reproduces the properties the engine needs
@@ -11,22 +11,35 @@ from a lake table, with the same commit discipline the reference gets from
   rename of the CURRENT pointer.  Readers resolve CURRENT → manifest → files;
   a crash mid-write leaves orphan data files that no manifest references.
 - **epoch replay guard (exactly-once-in-effect)**: every manifest records the
-  set of committed foreachBatch epoch ids; `merge()` of an already-committed
-  epoch is a no-op, so at-least-once redelivery of a microbatch cannot
-  double-apply (the reference's idempotent doc-id upsert, D1 in SURVEY §2.3).
-- **hash-bucket partitioning + copy-on-write MERGE**: rows live in
+  committed foreachBatch epochs (as a contiguous high-watermark plus a small
+  out-of-order recent set, so the manifest stays O(1) in stream length);
+  `merge()` of an already-committed epoch is a no-op, so at-least-once
+  redelivery of a microbatch cannot double-apply (the reference's idempotent
+  doc-id upsert, D1 in SURVEY §2.3).
+- **hash-bucket partitioning + MERGE-ON-READ deltas**: rows live in
   ``n_buckets`` directories by ``pmod(xxhash64(conv_id), n_buckets)``.  A
-  merge only rewrites the buckets its batch touches — at 100 TB with, say,
-  1024 buckets, a microbatch touching 5% of conversations rewrites ~5% of
-  buckets, not the table.  This is Iceberg copy-on-write MERGE with bucket
-  partition pruning, expressed directly.
+  merge writes only *delta* files (upsert rows + delete tombstones, batch-
+  sized), never rewriting existing data; `snapshot()` folds base + deltas
+  with a last-wins reduce on (order_col, commit_seq); `compact()` folds a
+  bucket back to a single base file group.  This is Iceberg/Delta
+  merge-on-read: commit cost is O(batch), not O(table) — the copy-on-write
+  alternative rewrites every touched bucket per microbatch, which at CDC
+  batch sizes means rewriting the whole table every commit.
+- **LSN-guarded upsert semantics** (D5 generalized): the fold orders by
+  (order_col, commit_seq), so a stale change (order value below the row
+  already in the table) loses, and an equal-order change from a later commit
+  wins — exactly `WHEN MATCHED AND s.lsn >= t.lsn THEN UPDATE/DELETE`.
+  Delete tombstones persist in delta files until compaction, so a
+  cross-batch "delete, then replayed older update" cannot resurrect the row
+  (the copy-on-write caveat of round 1 is gone).
 - **schema evolution**: the manifest carries a schema id per file group;
-  `evolve_schema()` widens/extends the current schema (new columns, int→long
-  etc.) without rewriting old files — readers cast old file groups up to the
-  current schema at scan time (exactly Iceberg's schema-id-per-data-file).
+  `evolve_schema()` widens/extends the current schema (new columns,
+  value-preserving type promotions only, matching Iceberg's rules) without
+  rewriting old files — readers cast old file groups up to the current
+  schema at scan time (exactly Iceberg's schema-id-per-data-file).
 
-Scale notes: the manifest holds file *names* only (O(files), kept in check by
-per-bucket compaction on rewrite); all data movement is executor-side.  The
+Scale notes: the manifest holds file *names* only (O(live files), bounded by
+compaction) and O(1) epoch state; all data movement is executor-side.  The
 driver only lists/renames manifest JSON — the same metadata-plane work an
 Iceberg catalog commit does.
 """
@@ -51,13 +64,27 @@ def bucket_expr(conv_col: str, n_buckets: int):
     return F.pmod(F.xxhash64(F.col(conv_col)), F.lit(n_buckets)).cast("int")
 
 
+class OverlapConflictError(ValueError):
+    """D5 conflict branch: a batch interval overlaps a stored interval with a
+    different lower bound (reference: tick-intervals-consumer/consume/
+    intervals_processor.go:124-137, overlap probe elastic/client.go:55-95)."""
+
+
+# Value-preserving promotions only (Iceberg schema-evolution rules): the int
+# family widens upward to long, float widens to double.  Lossy "widenings"
+# (long→float/double would corrupt values above 2^53/2^24) are rejected.
+_INT_ORDER = [T.ByteType(), T.ShortType(), T.IntegerType(), T.LongType()]
+_FLOAT_ORDER = [T.FloatType(), T.DoubleType()]
+
+
 def _widen(a: T.DataType, b: T.DataType) -> T.DataType | None:
     """Least common widened type for schema evolution, or None if incompatible."""
     if a == b:
         return a
-    numeric_order = [T.ByteType(), T.ShortType(), T.IntegerType(), T.LongType(), T.FloatType(), T.DoubleType()]
-    if a in numeric_order and b in numeric_order:
-        return max(a, b, key=numeric_order.index)
+    if a in _INT_ORDER and b in _INT_ORDER:
+        return max(a, b, key=_INT_ORDER.index)
+    if a in _FLOAT_ORDER and b in _FLOAT_ORDER:
+        return max(a, b, key=_FLOAT_ORDER.index)
     return None
 
 
@@ -66,12 +93,19 @@ class TranscriptTable:
 
     def __init__(self, spark: SparkSession, root: str, n_buckets: int = 16,
                  schema: T.StructType | None = None, key=schemas.TRANSCRIPT_KEY,
-                 broadcast_merge_max_keys: int = 200_000):
+                 order_col: str = "lsn",
+                 overlap_guard: tuple[str, str] | None = None):
+        """``order_col`` is the per-key version authority the merge-on-read
+        fold orders by (the reference's tick/LSN monotonicity).
+        ``overlap_guard=(lo_col, hi_col)`` arms the D5 conflict branch: a
+        merge whose interval overlaps a stored interval under the same
+        ``key[0]`` with a different ``lo_col`` raises OverlapConflictError."""
         self.spark = spark
         self.root = root.rstrip("/")
         self.n_buckets = n_buckets
         self.key = list(key)
-        self.broadcast_merge_max_keys = broadcast_merge_max_keys
+        self.order_col = order_col
+        self.overlap_guard = overlap_guard
         os.makedirs(f"{self.root}/data", exist_ok=True)
         os.makedirs(f"{self.root}/_manifests", exist_ok=True)
         if self._current_version() is None:
@@ -82,11 +116,17 @@ class TranscriptTable:
                     "version": 0,
                     "schemas": {"0": init_schema.json()},
                     "current_schema_id": 0,
-                    # file groups: list of {path, bucket, schema_id, rows}
+                    # file groups: {path, bucket, schema_id, kind: base|delta,
+                    # seq: committing manifest version}
                     "files": [],
-                    "committed_epochs": [],
+                    # bounded epoch state: all epochs <= hwm are committed,
+                    # plus a small set of committed epochs above the hwm
+                    "epoch_hwm": -1,
+                    "epochs_recent": [],
                     "cursor_lsn": -1,
                     "n_buckets": n_buckets,
+                    "key": self.key,
+                    "order_col": order_col,
                 },
             )
 
@@ -112,7 +152,7 @@ class TranscriptTable:
 
     def history(self) -> list[dict]:
         """All committed snapshot versions (time travel index): one dict per
-        manifest with version, committed epochs, cursor.  Iceberg-style
+        manifest with version, epoch watermark, cursor.  Iceberg-style
         snapshot log — old manifests are retained, so any past version can
         be read back with ``snapshot(version=...)``."""
         out = []
@@ -123,7 +163,8 @@ class TranscriptTable:
                 out.append(
                     {"version": m["version"], "cursor_lsn": m["cursor_lsn"],
                      "n_files": len(m["files"]),
-                     "committed_epochs": m["committed_epochs"],
+                     "epoch_hwm": m["epoch_hwm"],
+                     "epochs_recent": m["epochs_recent"],
                      "committed_at": m.get("committed_at")}
                 )
         return out
@@ -155,7 +196,9 @@ class TranscriptTable:
 
         Returns True if the table schema changed.  Reference analogue: the
         archiverv1/v2 dual wire schemas mapped into one domain schema
-        (status-service/main.go:157-163).  Incompatible changes raise.
+        (status-service/main.go:157-163).  Incompatible changes raise; type
+        changes to key columns are always rejected (a widened key would
+        re-hash rows into different buckets).
         """
         cur = self.schema
         cur_by_name = {f.name: f for f in cur.fields}
@@ -173,6 +216,10 @@ class TranscriptTable:
                         f"{cur_by_name[f.name].dataType} vs {f.dataType}"
                     )
                 if w != cur_by_name[f.name].dataType:
+                    if f.name in self.key:
+                        raise ValueError(
+                            f"type change on key column {f.name} is not allowed"
+                        )
                     i = next(i for i, g in enumerate(out) if g.name == f.name)
                     out[i] = T.StructField(f.name, w, True)
                     changed = True
@@ -192,60 +239,88 @@ class TranscriptTable:
         """Committed state (optionally pruned to a bucket subset), at the
         current version or any past one (time travel).
 
-        File groups are read per schema-id and cast up to that version's
-        schema — the scan-time cast Iceberg does for old data files.
+        Merge-on-read: base file groups and delta file groups are unioned and
+        folded with one last-wins reduce on (order_col, commit_seq) — a
+        map-side-partial hash aggregate, skew-robust like the write-side
+        dedup.  When the selected files contain no deltas (freshly compacted
+        table), the fold is skipped entirely and the plan is a plain
+        pruned-and-cast scan.
+
+        File groups are read per (schema_id, seq) and cast up to the
+        version's current schema — the scan-time cast Iceberg does for old
+        data files.
         """
         m = self.manifest(version)
         target = T.StructType.fromJson(
             json.loads(m["schemas"][str(m["current_schema_id"])])
         )
+        out_cols = [f.name for f in target.fields]
         files = m["files"]
         if buckets is not None:
             bset = set(buckets)
             files = [f for f in files if f["bucket"] in bset]
         if not files:
             return self.spark.createDataFrame([], target)
-        by_schema: dict[int, list[str]] = {}
+        has_delta = any(f.get("kind", "base") == "delta" for f in files)
+        groups: dict[tuple[int, int, str], list[str]] = {}
         for f in files:
-            by_schema.setdefault(int(f["schema_id"]), []).append(f["path"])
+            k = (int(f["schema_id"]), int(f.get("seq", 0)), f.get("kind", "base"))
+            groups.setdefault(k, []).append(f["path"])
         parts = []
-        for sid, paths in by_schema.items():
+        for (sid, seq, kind), paths in groups.items():
             df = self.spark.read.parquet(*paths)
-            missing = [f for f in target.fields if f.name not in df.columns]
             cols = [F.col(f.name).cast(f.dataType).alias(f.name) for f in target.fields
                     if f.name in df.columns]
-            cols += [F.lit(None).cast(f.dataType).alias(f.name) for f in missing]
-            parts.append(df.select(*cols).select([f.name for f in target.fields]))
+            cols += [F.lit(None).cast(f.dataType).alias(f.name) for f in target.fields
+                     if f.name not in df.columns]
+            if has_delta:
+                cols.append(
+                    (F.col("op") if "op" in df.columns else F.lit("U")).alias("op")
+                )
+                cols.append(F.lit(seq).alias("__seq"))
+            parts.append(df.select(*cols).select(
+                out_cols + (["op", "__seq"] if has_delta else [])
+            ))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        if has_delta:
+            from ..operators.dedup import last_wins
+
+            won = last_wins(out, key=self.key, order=(self.order_col, "__seq"))
+            out = won.where(F.col("op") != "D").select(*out_cols)
         return out
 
-    def committed_epochs(self) -> set:
-        return set(self.manifest()["committed_epochs"])
+    def is_epoch_committed(self, epoch_id: int) -> bool:
+        m = self.manifest()
+        e = int(epoch_id)
+        return e <= int(m["epoch_hwm"]) or e in set(m["epochs_recent"])
+
+    def epoch_state(self) -> dict:
+        m = self.manifest()
+        return {"epoch_hwm": int(m["epoch_hwm"]),
+                "epochs_recent": sorted(m["epochs_recent"])}
 
     def cursor_lsn(self) -> int:
         return int(self.manifest()["cursor_lsn"])
 
-    # ---------------- MERGE (copy-on-write, bucket-pruned) ----------------
+    # ---------------- MERGE (merge-on-read delta commit) ----------------
 
     def merge(
         self,
         changes: DataFrame,
         epoch_id: int,
         batch_max_lsn: int | None = None,
-        order_col: str = "lsn",
-        touched: list[int] | None = None,
-        strategy: str = "auto",
-        n_changes: int | None = None,
+        order_col: str | None = None,
+        deduped: bool = False,
     ) -> dict:
-        """Idempotent, LSN-guarded MERGE of one deduped batch.
+        """Idempotent, LSN-guarded MERGE of one change batch.
 
-        ``changes`` must be unique per key, carry every target column plus an
-        ``op`` column (I/U/D), and use ``order_col`` as the per-key version
-        authority.  Equivalent SQL (the reference's conditional
-        widen-or-ignore upsert, D5 — tick-intervals-consumer/consume/
-        intervals_processor.go:124-137 — generalized to LSN monotonicity):
+        ``changes`` carries the target columns plus an ``op`` column (I/U/D);
+        ``self.order_col`` is the per-key version authority.  Equivalent SQL
+        (the reference's conditional widen-or-ignore upsert, D5 —
+        tick-intervals-consumer/consume/intervals_processor.go:124-137 —
+        generalized to LSN monotonicity):
 
             MERGE INTO target t USING batch s ON t.conv_id = s.conv_id
                                             AND t.turn_idx = s.turn_idx
@@ -253,118 +328,148 @@ class TranscriptTable:
             WHEN MATCHED AND s.lsn >= t.lsn THEN UPDATE SET *
             WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT *
 
-        A stale change (lsn below the row already in the table) is ignored,
-        so re-applying any previously-applied batch — even under a fresh
-        epoch id — is a no-op.  Deletes are not retained as tombstones: a
-        cross-batch regression (delete applied, then a later batch delivers
-        an older update for the same key) would resurrect the row; a binlog
-        tail applied in offset order cannot produce that sequence.
+        Physical strategy — merge-on-read: the batch winners (incl. delete
+        tombstones) are cast to the target schema, bucketed, and written as
+        *delta* files; no existing file is read or rewritten, so commit cost
+        is O(batch) regardless of table size.  The MERGE conditions are
+        enforced by `snapshot()`'s fold ordering (order_col, commit_seq):
+        stale changes lose to the stored row, equal-order changes from a
+        later commit win — so re-applying any previously-applied batch, even
+        under a fresh epoch id, is a no-op in effect.
 
-        Physical strategy — two plans, picked by batch size (the analogue of
-        Iceberg's COW merge join strategies):
-        - **broadcast** (small batch, the streaming steady state): prune the
-          target scan to touched buckets; survivors = broadcast anti-join
-          (the big target side never shuffles); contested keys = broadcast
-          semi-join pulls ≤|batch| current rows into a small last-wins
-          reduce; one big shuffle total (the bucket-write repartition).
-        - **shuffle** (large batch / backfill): broadcast-building millions
-          of batch keys serializes on the driver, so instead union the
-          touched-bucket rows (as op='U' defenders at their own lsn) with the
-          batch winners and run one fully-parallel last-wins reduce — every
-          stage scales with cores.
-        ``strategy``: "broadcast" | "shuffle" | "auto" (by ``n_changes``).
+        Two Spark jobs: the delta write (one shuffle: the bucket
+        repartition), then a tiny 3-column scan of the just-written delta
+        for per-bucket lineage counters (touched buckets, upsert/delete
+        counts, order-col bounds — ≤ n_buckets rows to the driver).
+
+        ``deduped=True`` skips the in-batch last-wins pass (the caller —
+        ChangeApplier — already reduced the batch to one winner per key).
+        ``batch_max_lsn`` overrides the cursor advance; by default the cursor
+        advances to the batch's max order value.
         """
-        if epoch_id in self.committed_epochs():
+        if self.is_epoch_committed(epoch_id):
             return {"status": "skipped_replay", "epoch_id": epoch_id}
+        if order_col is not None and order_col != self.order_col:
+            raise ValueError(
+                f"merge order_col {order_col!r} != table order_col "
+                f"{self.order_col!r} (set order_col at table construction)"
+            )
 
         m = self.manifest()
         target_schema = self.schema
         cols = [f.name for f in target_schema.fields]
 
-        batch_keys = changes.select(*self.key).distinct()
-        if touched is None:
-            touched = sorted(
-                r["__bucket"]
-                for r in batch_keys.select(
-                    bucket_expr(self.key[0], self.n_buckets).alias("__bucket")
-                ).distinct().collect()
-            )
-        else:
-            touched = sorted(touched)
-        if not touched:
-            self._commit(m, kept_files=m["files"], new_files=[], epoch_id=epoch_id,
-                         batch_max_lsn=batch_max_lsn)
-            return {"status": "committed", "epoch_id": epoch_id, "touched_buckets": [],
-                    "files_written": 0}
+        # Defensive cast to the target schema BEFORE bucketing: xxhash64 of an
+        # int differs from xxhash64 of a long, so bucketing pre-cast rows
+        # would scatter them into buckets the manifest doesn't associate with
+        # the key (silent loss for numeric-keyed tables).
+        proj = [
+            (F.col(f.name).cast(f.dataType) if f.name in changes.columns
+             else F.lit(None).cast(f.dataType)).alias(f.name)
+            for f in target_schema.fields
+        ]
+        changes = changes.select(*proj, "op")
+        if not deduped:
+            from ..operators.dedup import last_wins
 
-        if strategy == "auto":
-            strategy = (
-                "broadcast"
-                if n_changes is not None and n_changes <= self.broadcast_merge_max_keys
-                else "shuffle" if n_changes is not None else "broadcast"
-            )
+            changes = last_wins(changes, key=self.key, order=(self.order_col,))
 
-        from ..operators.dedup import last_wins
+        if self.overlap_guard is not None:
+            self._check_overlap(changes)
 
-        current = self.snapshot(buckets=touched)
-        if strategy == "broadcast":
-            survivors = current.join(F.broadcast(batch_keys), on=self.key, how="left_anti") \
-                               .select(*cols)
-            contested_cur = (
-                current.join(F.broadcast(batch_keys), on=self.key, how="left_semi")
-                .select(*cols)
-                .withColumn("op", F.lit("U"))  # existing row defends with its own lsn
-            )
-            fight = changes.select(*cols, "op").unionByName(contested_cur)
-            winners = last_wins(fight, key=self.key, order=(order_col,))
-            merged = survivors.unionByName(winners.where(F.col("op") != "D").select(*cols))
-        else:
-            fight = changes.select(*cols, "op").unionByName(
-                current.select(*cols).withColumn("op", F.lit("U"))
-            )
-            winners = last_wins(fight, key=self.key, order=(order_col,))
-            merged = winners.where(F.col("op") != "D").select(*cols)
-        merged = merged.withColumn("__bucket", bucket_expr(self.key[0], self.n_buckets))
+        changes = changes.withColumn("__bucket", bucket_expr(self.key[0], self.n_buckets))
 
-        # Rewrite touched buckets: one output dir per commit, partitioned by
-        # bucket, one writer task per touched bucket → exactly one file per
-        # bucket per commit (AQE-coalesced writes over-serialize small
-        # batches; fixed per-bucket tasks measured fastest at both 8 and 32
-        # cores).
+        # Delta write: one output dir per commit, partitioned by bucket, one
+        # writer task per bucket → at most one file per touched bucket per
+        # commit (empty tasks write nothing).
         commit_id = uuid.uuid4().hex[:12]
         out_dir = f"{self.root}/data/commit={commit_id}"
-        (merged.repartition(max(1, len(touched)), "__bucket")
-               .write.mode("overwrite").partitionBy("__bucket").parquet(out_dir))
+        (changes.repartition(self.n_buckets, "__bucket")
+                .write.mode("overwrite").partitionBy("__bucket").parquet(out_dir))
 
         # Enumerate written files per bucket (driver-side metadata only).
-        new_files = []
+        seq = m["version"] + 1
         sid = int(m["current_schema_id"])
-        for b in touched:
-            bdir = f"{out_dir}/__bucket={b}"
-            if os.path.isdir(bdir):
-                for name in sorted(os.listdir(bdir)):
-                    if name.endswith(".parquet"):
-                        new_files.append({"path": f"{bdir}/{name}", "bucket": b, "schema_id": sid})
+        new_files = []
+        for entry in sorted(os.listdir(out_dir)):
+            if not entry.startswith("__bucket="):
+                continue
+            b = int(entry.split("=")[1])
+            for name in sorted(os.listdir(f"{out_dir}/{entry}")):
+                if name.endswith(".parquet"):
+                    new_files.append({"path": f"{out_dir}/{entry}/{name}", "bucket": b,
+                                      "schema_id": sid, "kind": "delta", "seq": seq})
 
-        kept = [f for f in m["files"] if f["bucket"] not in set(touched)]
-        self._commit(m, kept_files=kept, new_files=new_files, epoch_id=epoch_id,
+        # Per-bucket lineage counters: a 3-column scan of the fresh delta
+        # (columnar, batch-sized — the only post-write job).
+        per_bucket = []
+        if new_files:
+            per_bucket = (
+                self.spark.read.parquet(out_dir)
+                .groupBy("__bucket")
+                .agg(
+                    F.sum(F.when(F.col("op") != "D", 1).otherwise(0)).alias("rows_upserted"),
+                    F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("rows_deleted"),
+                    F.min(self.order_col).alias("lsn_from"),
+                    F.max(self.order_col).alias("lsn_to"),
+                )
+                .collect()
+            )
+        touched = sorted(int(r["__bucket"]) for r in per_bucket)
+        if batch_max_lsn is None and per_bucket:
+            batch_max_lsn = max(r["lsn_to"] for r in per_bucket)
+
+        self._commit(m, files=m["files"] + new_files, epoch_id=epoch_id,
                      batch_max_lsn=batch_max_lsn)
         return {
             "status": "committed",
             "epoch_id": epoch_id,
             "touched_buckets": touched,
             "files_written": len(new_files),
+            "per_bucket": per_bucket,
         }
 
-    def _commit(self, m: dict, kept_files, new_files, epoch_id, batch_max_lsn) -> None:
+    def _check_overlap(self, winners: DataFrame) -> None:
+        """D5 conflict branch: error if a batch interval overlaps a stored
+        interval with a different lower bound under the same key[0]."""
+        lo, hi = self.overlap_guard
+        k0 = self.key[0]
+        cur = self.snapshot().select(
+            F.col(k0).alias("__k"), F.col(lo).alias("__clo"), F.col(hi).alias("__chi")
+        )
+        b = winners.select(F.col(k0).alias("__k"), F.col(lo).alias("__blo"),
+                           F.col(hi).alias("__bhi"))
+        conflicts = (
+            b.join(cur, on="__k")
+            .where((F.col("__blo") != F.col("__clo"))
+                   & (F.col("__blo") <= F.col("__chi"))
+                   & (F.col("__clo") <= F.col("__bhi")))
+        )
+        row = conflicts.limit(1).collect()
+        if row:
+            r = row[0]
+            raise OverlapConflictError(
+                f"interval [{r['__blo']},{r['__bhi']}] for key {r['__k']!r} "
+                f"overlaps stored interval [{r['__clo']},{r['__chi']}] "
+                f"with different lower bound"
+            )
+
+    def _commit(self, m: dict, files, epoch_id, batch_max_lsn) -> None:
         v = m["version"] + 1
         cursor = max(int(m["cursor_lsn"]), int(batch_max_lsn)) if batch_max_lsn is not None \
             else int(m["cursor_lsn"])
+        # bounded epoch state: fold the new epoch into hwm + recent set
+        hwm = int(m["epoch_hwm"])
+        recent = set(m["epochs_recent"]) | {int(epoch_id)}
+        while hwm + 1 in recent:
+            hwm += 1
+            recent.discard(hwm)
         self._write_manifest(v, {
             **m,
             "version": v,
-            "files": kept_files + new_files,
-            "committed_epochs": sorted(set(m["committed_epochs"]) | {int(epoch_id)}),
+            "files": files,
+            "epoch_hwm": hwm,
+            "epochs_recent": sorted(recent),
             "cursor_lsn": cursor,
             "committed_at": time.time(),
         })
@@ -402,21 +507,39 @@ class TranscriptTable:
         return {"removed_files": removed_files, "removed_manifests": removed_manifests,
                 "kept_versions": sorted(keep)}
 
-    def compact(self) -> None:
-        """Rewrite every bucket to one file group at the current schema."""
-        df = self.snapshot().withColumn("__bucket", bucket_expr(self.key[0], self.n_buckets))
+    def compact(self, buckets: list[int] | None = None) -> None:
+        """Fold base + deltas back to one base file group per bucket at the
+        current schema (Iceberg's rewrite_data_files).  ``buckets`` restricts
+        the rewrite to a subset — incremental compaction keyed off per-bucket
+        delta counts is how a 100 TB table keeps read amplification bounded
+        without ever rewriting the whole table at once."""
         m = self.manifest()
+        target_buckets = set(range(self.n_buckets)) if buckets is None else set(buckets)
+        df = self.snapshot(buckets=sorted(target_buckets)) \
+                 .withColumn("__bucket", bucket_expr(self.key[0], self.n_buckets))
         commit_id = uuid.uuid4().hex[:12]
         out_dir = f"{self.root}/data/commit={commit_id}"
         df.repartition(self.n_buckets, "__bucket").write.mode("overwrite") \
           .partitionBy("__bucket").parquet(out_dir)
-        new_files = []
+        seq = m["version"] + 1
         sid = int(m["current_schema_id"])
+        new_files = []
         for entry in sorted(os.listdir(out_dir)):
             if not entry.startswith("__bucket="):
                 continue
             b = int(entry.split("=")[1])
             for name in sorted(os.listdir(f"{out_dir}/{entry}")):
                 if name.endswith(".parquet"):
-                    new_files.append({"path": f"{out_dir}/{entry}/{name}", "bucket": b, "schema_id": sid})
-        self._write_manifest(m["version"] + 1, {**m, "version": m["version"] + 1, "files": new_files})
+                    new_files.append({"path": f"{out_dir}/{entry}/{name}", "bucket": b,
+                                      "schema_id": sid, "kind": "base", "seq": seq})
+        kept = [f for f in m["files"] if f["bucket"] not in target_buckets]
+        self._write_manifest(m["version"] + 1,
+                             {**m, "version": m["version"] + 1, "files": kept + new_files})
+
+    def delta_file_counts(self) -> dict[int, int]:
+        """Per-bucket live delta-file counts — the compaction trigger signal."""
+        out: dict[int, int] = {}
+        for f in self.manifest()["files"]:
+            if f.get("kind", "base") == "delta":
+                out[f["bucket"]] = out.get(f["bucket"], 0) + 1
+        return out

@@ -45,22 +45,70 @@ def epoch_for_lsn(events: DataFrame, intervals: DataFrame, lsn_col="lsn",
     )
 
 
-def verify_monotonic(intervals: DataFrame, seq_col: str, attr_cols=("epoch", "from_lsn")) -> DataFrame:
-    """Q6: count rows where the attribute tuple is not strictly ascending in
-    ``seq_col`` order (must be 0).
+def verify_monotonic(intervals: DataFrame, seq_col: str, attr_cols=("epoch", "from_lsn"),
+                     strict: bool = True, n_parts: int = 256) -> DataFrame:
+    """Q6: count rows where the attribute tuple regresses in ``seq_col``
+    order (must be 0).  ``strict=True`` requires strictly ascending tuples
+    (violation when cur <= prev); ``strict=False`` allows ties (violation
+    only when cur < prev).
 
     Reference: tick-intervals-publisher asserts intervals ascending by
     (epoch, from) (processing/tick_interval_processor.go:167-179).  A
     DataFrame has no inherent order, so the position in the original list is
     an explicit sequence column.
+
+    Scale shape — NO global window (a `Window.orderBy(seq)` with no
+    partition funnels the whole table through one task):
+      1. range-bucket rows into ``n_parts`` contiguous seq slices
+         (min/max from a 1-row broadcast aggregate);
+      2. count violations *within* each slice with a window partitioned by
+         slice — fully parallel;
+      3. stitch slice boundaries with a per-slice summary (first/last tuple
+         via min_by/max_by — one row per slice) and a window over those
+         ≤ n_parts rows.  The serial stage is O(n_parts), independent of
+         table size — the boundary stitch of a parallel prefix scan.
+    Degenerate inputs (all rows share one seq value) collapse to one slice;
+    sequence columns are unique in every reference analogue.
     """
-    w = Window.orderBy(F.col(seq_col))
     cur = F.struct(*[F.col(c) for c in attr_cols])
-    prev = F.lag(cur).over(w)
-    df = intervals.select(cur.alias("__cur"), prev.alias("__prev"))
-    cond = F.col("__prev").isNotNull() & (F.col("__cur") <= F.col("__prev"))
-    return df.agg(
-        F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)).cast("long").alias("n_violations")
+
+    def viol(cur_c, prev_c):
+        cmp = (cur_c <= prev_c) if strict else (cur_c < prev_c)
+        return prev_c.isNotNull() & cmp
+
+    bounds = intervals.agg(F.min(seq_col).alias("__mn"), F.max(seq_col).alias("__mx"))
+    width = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil((F.col("__mx") - F.col("__mn") + 1) / F.lit(n_parts)).cast("long"),
+    )
+    df = (
+        intervals.crossJoin(F.broadcast(bounds))
+        .withColumn("__part", F.floor((F.col(seq_col) - F.col("__mn")) / width).cast("long"))
+    )
+    w_in = Window.partitionBy("__part").orderBy(F.col(seq_col))
+    enriched = df.select(
+        "__part",
+        F.col(seq_col).alias("__seq"),
+        cur.alias("__cur"),
+        F.lag(cur).over(w_in).alias("__prev"),
+    )
+    per_part = enriched.groupBy("__part").agg(
+        F.sum(F.when(viol(F.col("__cur"), F.col("__prev")), 1).otherwise(0)).alias("__n_inner"),
+        F.min_by("__cur", "__seq").alias("__first"),
+        F.max_by("__cur", "__seq").alias("__last"),
+    )
+    # boundary stitch: ≤ n_parts rows — the single-partition window here is
+    # O(n_parts), not O(rows)
+    w_parts = Window.orderBy("__part")
+    stitched = per_part.select(
+        "__n_inner",
+        F.when(
+            viol(F.col("__first"), F.lag("__last").over(w_parts)), 1
+        ).otherwise(0).alias("__n_boundary"),
+    )
+    return stitched.agg(
+        F.coalesce(F.sum(F.col("__n_inner") + F.col("__n_boundary")), F.lit(0))
+        .cast("long").alias("n_violations")
     )
 
 

@@ -120,6 +120,40 @@ def rhp_bucket(vec: Column, n_planes: int, seed: int = 7, dim: int | None = None
     return bucket
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _rhp_band_codes_udf(n_bands: int, n_planes: int, seed: int):
+    @pandas_udf("array<long>")
+    def codes(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        m = np.vstack(v.to_numpy()).astype(np.float64)        # (n, dim)
+        # deterministic Gaussian hyperplanes — same on every executor
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((n_bands * n_planes, m.shape[1]))
+        signs = (m @ planes.T) > 0                            # (n, bands*planes)
+        bits = signs.reshape(len(m), n_bands, n_planes).astype(np.int64)
+        weights = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+        band_codes = (bits * weights).sum(axis=2)             # (n, n_bands)
+        return pd.Series(list(band_codes))
+
+    return codes
+
+
+def rhp_band_codes(vec: Column, n_bands: int, n_planes: int, seed: int = 7) -> Column:
+    """``n_bands`` independent random-hyperplane LSH codes of ``n_planes``
+    sign bits each, as one array<long> column.
+
+    One Arrow-batched numpy matmul per batch (BLAS) — the banded analogue of
+    `rhp_bucket` for near-dup candidate generation, where a single wide code
+    over-prunes (miss rate compounds per plane) and per-plane Catalyst
+    aggregates cost O(n_bands·n_planes·dim) codegen per row.
+    """
+    return _rhp_band_codes_udf(n_bands, n_planes, seed)(vec)
+
+
 def _query_bucket(spark, query: Sequence[float], n_planes: int, seed: int) -> int:
     """Compute the query vector's bucket via a 1-row Spark job (keeps the
     plane derivation in one place — no Python reimplementation to drift)."""

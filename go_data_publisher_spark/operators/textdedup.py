@@ -201,20 +201,38 @@ def minhash_lsh_pairs(df: DataFrame, id_col="doc_id", text_col="text", k: int = 
 # ---------------------------------------------------------------------------
 
 def simhash_near_duplicates(df: DataFrame, id_col="doc_id", text_col="text",
-                            max_hamming: int = 3, n_bands: int = 4) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 64-bit signature into n_bands
-    16-bit chunks — any pair within hamming distance < n_bands must share a
-    band (pigeonhole) — then verify exact hamming ≤ max_hamming."""
+                            max_hamming: int = 3, n_bands: int | None = None) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit signature into ``n_bands``
+    chunks — any pair within hamming distance < n_bands must share at least
+    one band verbatim (pigeonhole) — then verify exact hamming ≤ max_hamming.
+
+    Completeness: recall over the advertised radius requires
+    ``n_bands > max_hamming`` (otherwise the differing bits can hit every
+    band and the pair is silently missed).  ``n_bands`` therefore defaults
+    to ``max_hamming + 1`` with near-equal widths summing to 64, and a
+    smaller explicit value raises.
+    """
+    if n_bands is None:
+        n_bands = max_hamming + 1
+    if n_bands <= max_hamming:
+        raise ValueError(
+            f"n_bands={n_bands} <= max_hamming={max_hamming}: the pigeonhole "
+            f"guarantee only covers hamming <= n_bands-1"
+        )
+    n_bands = min(n_bands, 64)
+    base, rem = divmod(64, n_bands)
+    widths = [base + 1] * rem + [base] * (n_bands - rem)
+    offsets = [sum(widths[:i]) for i in range(n_bands)]
     sigs = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sig"))
-    width = 64 // n_bands
-    mask = (1 << width) - 1
     bands = sigs.select(
         "id",
         "sig",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright("sig", b * width).bitwiseAND(F.lit(mask)).cast("long")
+                    F.shiftright("sig", offsets[b])
+                    .bitwiseAND(F.lit((1 << widths[b]) - 1))
+                    .cast("long")
                     for b in range(n_bands)
                 ]
             )
@@ -248,25 +266,55 @@ def simhash_near_duplicates(df: DataFrame, id_col="doc_id", text_col="text",
 # ---------------------------------------------------------------------------
 
 def embedding_near_duplicates(df: DataFrame, id_col="vec_id", vec_col="embedding",
-                              threshold: float = 0.95, n_planes: int = 12,
-                              seed: int = 7) -> DataFrame:
-    """Cosine near-dup pairs via random-hyperplane LSH buckets + exact verify.
+                              threshold: float = 0.95, n_planes: int = 6,
+                              n_bands: int = 8, seed: int = 7,
+                              max_bucket_size: int | None = 10_000) -> DataFrame:
+    """Cosine near-dup pairs via *banded* random-hyperplane LSH + exact verify.
 
-    Sign pattern of dot products with ``n_planes`` pseudo-random hyperplanes
-    (derived deterministically from xxhash64, no driver-side randomness)
-    buckets the vectors; exact cosine runs only within buckets.
+    Shape (the same banding as `minhash_lsh_pairs`, which bounds join
+    fan-out): each vector gets ``n_bands`` independent ``n_planes``-bit sign
+    codes (one Arrow/numpy matmul — see similarity.rhp_band_codes); docs
+    sharing any (band, code) become candidates; exact cosine verifies only
+    candidates.  A single wide code is both lossy (miss rate compounds per
+    plane) and quadratic in its bucket population — near-dup-dense corpora
+    concentrate into few buckets.  Banding restores recall
+    (miss ≈ (1-p^planes)^bands) and ``max_bucket_size`` caps the fan-out of
+    degenerate buckets: buckets above the cap are skipped for pair
+    generation (NOT silently — they are the all-identical pathology that
+    exact dedup already removes upstream; the cap bounds worst-case work at
+    O(bands · cap · n) instead of O(n²)).
     """
-    from .similarity import cosine_expr, rhp_bucket
+    from .similarity import cosine_expr, rhp_band_codes
 
     v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    v = v.withColumn("bucket", rhp_bucket(F.col("vec"), n_planes, seed))
-    a, b = v.alias("a"), v.alias("b")
-    cand = a.join(
-        b,
-        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
-    ).select(
-        F.col("a.id").alias("id_a"),
-        F.col("b.id").alias("id_b"),
-        cosine_expr(F.col("a.vec"), F.col("b.vec")).alias("cosine"),
+    bands = v.select(
+        "id", F.posexplode(rhp_band_codes(F.col("vec"), n_bands, n_planes, seed))
+        .alias("band", "code")
     )
-    return cand.where(F.col("cosine") >= threshold)
+    if max_bucket_size is not None:
+        ok = (
+            bands.groupBy("band", "code")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") <= max_bucket_size)
+            .select("band", "code")
+        )
+        bands = bands.join(ok, on=["band", "code"], how="left_semi")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.code") == F.col("b.code"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    va = v.select(F.col("id").alias("id_a"), F.col("vec").alias("__va"))
+    vb = v.select(F.col("id").alias("id_b"), F.col("vec").alias("__vb"))
+    return (
+        cand.join(va, on="id_a").join(vb, on="id_b")
+        .select("id_a", "id_b",
+                cosine_expr(F.col("__va"), F.col("__vb")).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )

@@ -7,28 +7,84 @@ re-expression of the reference consumer loop
     poll batch → validate/route → dedupe → idempotent keyed upsert →
     commit offsets after the sink write.
 
-Stages (all declarative; one shuffle total — the per-key dedup):
- 1. validity guard  → quarantine invalid rows (F4/V4)
+Stages (all declarative):
+ 1. validity guard  → quarantine invalid rows or abort the batch (F4/V4)
  2. schema-evolution diff → widen target before apply (archiverv1/v2 analogue)
  3. last-wins dedup per (conv_id, turn_idx) by (lsn, op-rank)  (D4)
- 4. split upserts / deletes, MERGE into bucketed lake table    (D1/D5)
+ 4. merge-on-read delta commit into the bucketed lake table    (D1/D5)
  5. lineage manifest row per touched partition + batch metrics (A5/S8)
 
+Per microbatch this runs exactly two Spark jobs: the delta write (scan →
+dedup shuffle → bucket repartition → parquet) and a tiny 3-column lineage
+aggregate over the just-written delta.  Batch-level stats (invalid count,
+lsn bounds) ride the write job as an Observation — zero extra scans.
+
 Exactly-once: the table's manifest commit records epoch_id; a replayed batch
-(same epoch_id) is a no-op.
+(same epoch_id) is a no-op.  Transient sink failures are retried with
+bounded exponential backoff + jitter (the reference retries ES bulk writes
+on 429/502/503/504 up to 15 times, transactions-consumer/main.go:118-120,
+186-201); each retry writes a fresh commit dir, so a half-written attempt
+leaves only orphan files that vacuum() collects — never a double commit.
 """
 
 from __future__ import annotations
 
+import random
 import time
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import schemas
-from ..lake.table import TranscriptTable, bucket_expr
+from ..lake.table import TranscriptTable
 from ..operators.dedup import last_wins, last_wins_salted
-from ..operators.routing import split_valid
+from ..operators.routing import split_valid, validity_predicate
+
+
+class MismatchError(RuntimeError):
+    """V4 strict mode: the batch contained invalid rows and the policy is
+    abort-batch (reference: status-service/sync/tick_processor.go:238-249
+    with the skip-list disabled)."""
+
+
+def _default_is_retriable(exc: BaseException) -> bool:
+    """Transient (IO-shaped) failures retry; semantic failures don't.
+
+    The reference's split: HTTP 429/502/503/504 retry, anything else is
+    terminal (transactions-consumer/main.go:118-120).  Here: schema
+    conflicts / bad arguments / strict-mode aborts are terminal; IO errors
+    and JVM-side write failures are presumed transient.
+    """
+    from pyspark.errors import AnalysisException
+
+    return not isinstance(exc, (ValueError, TypeError, KeyError,
+                                MismatchError, AnalysisException))
+
+
+@dataclass
+class RetryPolicy:
+    """Bounded exponential backoff with full jitter."""
+
+    max_attempts: int = 5
+    base_delay: float = 0.2
+    max_delay: float = 5.0
+    is_retriable: callable = field(default=_default_is_retriable)
+
+    def run(self, fn, on_retry=None):
+        attempt = 0
+        while True:
+            try:
+                return fn()
+            except BaseException as exc:  # noqa: BLE001 — classified below
+                attempt += 1
+                if attempt >= self.max_attempts or not self.is_retriable(exc):
+                    raise
+                delay = min(self.max_delay, self.base_delay * (2 ** (attempt - 1)))
+                delay *= random.uniform(0.5, 1.0)  # full jitter
+                if on_retry is not None:
+                    on_retry(attempt, exc, delay)
+                time.sleep(delay)
 
 
 class ChangeApplier:
@@ -43,14 +99,25 @@ class ChangeApplier:
         n_salts: int = 8,
         route_sql: str | None = None,
         ephemeral_table: TranscriptTable | None = None,
+        on_invalid: str = "quarantine",
+        retry: RetryPolicy | None = None,
     ):
         """``route_sql`` + ``ephemeral_table``: F3 routing — winners matching
         the predicate are merged into a second target instead of the main
         one (the reference's ephemeral-transactions index,
         transactions-consumer/consume/transaction_consumer.go:118-123,
-        134-146; both bulk writes commit before the offset commit, which here
-        means both tables' manifests record the epoch before foreachBatch
-        returns)."""
+        134-146; both tables' manifests record the epoch before foreachBatch
+        returns).
+
+        ``on_invalid``: the V4 mismatch policy — "quarantine" (record invalid
+        rows in the persisted skipped set and continue, the reference's
+        skip-list mode, status-service/db/store.go:79-111) or "error" (abort
+        the batch before anything is applied, the reference's strict mode).
+
+        ``retry``: RetryPolicy wrapped around every sink write (merge +
+        quarantine).  Defaults to 5 attempts of exponential backoff with
+        jitter; pass RetryPolicy(max_attempts=1) to disable.
+        """
         self.table = table
         self.quarantine_dir = quarantine_dir
         self.lineage_dir = lineage_dir
@@ -58,121 +125,105 @@ class ChangeApplier:
         self.n_salts = n_salts
         self.route_sql = route_sql
         self.ephemeral_table = ephemeral_table
+        if on_invalid not in ("quarantine", "error"):
+            raise ValueError("on_invalid must be 'quarantine' or 'error'")
+        self.on_invalid = on_invalid
+        self.retry = retry or RetryPolicy()
         if (route_sql is None) != (ephemeral_table is None):
             raise ValueError("route_sql and ephemeral_table must be set together")
 
     # -- called by foreachBatch and by the batch driver ----------------------
 
     def apply_batch(self, batch: DataFrame, epoch_id: int) -> dict:
-        spark = batch.sparkSession
-        if epoch_id in self.table.committed_epochs():
+        if self.table.is_epoch_committed(epoch_id):
             # replayed microbatch after crash-before-checkpoint: no-op
             return {"status": "skipped_replay", "epoch_id": epoch_id}
 
-        # NOTE: the batch is deliberately NOT cached — it is re-read twice
-        # (stats, dedup input) but the source is columnar (parquet microbatch
-        # file or an already-cached upstream), and caching every microbatch
-        # churns the block manager / old-gen at high core counts (measured:
-        # erratic multi-second stalls at local[32]).
-        dedup = None
+        from pyspark.sql import Observation
+
+        # Batch-level stats (valid lsn bounds + invalid count) ride the
+        # merge write as an Observation — zero extra jobs/scans (the
+        # reference piggybacks its counters on the consume loop the same
+        # way, A5).
+        vp = validity_predicate()
+        # Unique observation name per invocation: a previously-registered
+        # observation with the same name (e.g. an aborted strict-mode attempt
+        # of the same epoch) would otherwise receive this run's metrics and
+        # leave ours blocking forever in get().
+        import uuid
+
+        obs = Observation(f"cdc_batch_{epoch_id}_{uuid.uuid4().hex[:8]}")
+        observed = batch.observe(
+            obs,
+            F.sum(F.when(~F.coalesce(vp, F.lit(False)), 1).otherwise(0)).alias("nq"),
+            F.min(F.when(vp, F.col("lsn"))).alias("mn"),
+            F.max(F.when(vp, F.col("lsn"))).alias("mx"),
+        )
+        valid, quarantined = split_valid(observed)
+
+        if self.on_invalid == "error":
+            # strict mode pays one extra (pushdown-pruned) job to abort
+            # BEFORE anything is applied
+            bad = batch.where(~F.coalesce(vp, F.lit(False))).limit(1).count()
+            if bad:
+                raise MismatchError(
+                    f"batch {epoch_id} contains invalid rows and on_invalid='error'"
+                )
+
+        # schema evolution BEFORE apply: v2 events may add columns/widen
+        self.table.evolve_schema(valid.drop("op", "schema_version").schema)
+        target_schema = self.table.schema
+
+        dedup = last_wins_salted(valid, n_salts=self.n_salts) if self.salted \
+            else last_wins(valid)
+
+        # project winners into target schema + op (lsn records the applied
+        # version; columns missing from an old-schema batch become null)
+        cols = []
+        for f in target_schema.fields:
+            if f.name in dedup.columns:
+                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        changes = dedup.select(*cols, "op")
+
+        if self.route_sql is not None:
+            # F3 dual-target routing: split winners by predicate; each
+            # target computes its own touched buckets + cursor
+            eph = changes.where(F.expr(self.route_sql))
+            perm = changes.where(
+                ~F.coalesce(F.expr(self.route_sql), F.lit(False))
+            )
+            self.retry.run(lambda: self.ephemeral_table.merge(
+                eph, epoch_id=epoch_id, deduped=True))
+            stats = self.retry.run(lambda: self.table.merge(
+                perm, epoch_id=epoch_id, deduped=True))
+        else:
+            stats = self.retry.run(lambda: self.table.merge(
+                changes, epoch_id=epoch_id, deduped=True))
+        per_bucket = stats.pop("per_bucket", [])
+
         try:
-            from pyspark.sql import Observation
-
-            from ..operators.routing import validity_predicate
-
-            # Batch-level stats (valid lsn bounds + invalid count) ride the
-            # dedup pass as an Observation — zero extra jobs/scans (the
-            # reference piggybacks its counters on the consume loop the same
-            # way, A5).
-            vp = validity_predicate()
-            obs = Observation(f"cdc_batch_{epoch_id}")
-            observed = batch.observe(
-                obs,
+            stats_row = obs.get
+        except Exception:
+            # degenerate (e.g. empty) batch: the observed metrics row may
+            # be unavailable — fall back to a direct aggregate
+            stats_row = batch.agg(
                 F.sum(F.when(~F.coalesce(vp, F.lit(False)), 1).otherwise(0)).alias("nq"),
                 F.min(F.when(vp, F.col("lsn"))).alias("mn"),
                 F.max(F.when(vp, F.col("lsn"))).alias("mx"),
+            ).first()
+        n_quarantined = int(stats_row["nq"] or 0)
+        if n_quarantined and self.quarantine_dir:
+            self.retry.run(
+                lambda: quarantined.withColumn("__epoch_id", F.lit(int(epoch_id)))
+                .write.mode("append").parquet(self.quarantine_dir)
             )
-            valid, quarantined = split_valid(observed)
 
-            # schema evolution BEFORE apply: v2 events may add columns/widen
-            self.table.evolve_schema(valid.drop("op", "schema_version").schema)
-            target_schema = self.table.schema
-
-            dedup = last_wins_salted(valid, n_salts=self.n_salts) if self.salted else last_wins(valid)
-            dedup = dedup.persist()
-
-            # Job 1: per-bucket lineage aggregate over the winners.  This one
-            # action materializes the dedup cache, fires the Observation, and
-            # yields both the touched-bucket set and the lineage counters
-            # (≤ n_buckets rows to the driver).
-            per_bucket = (
-                dedup.withColumn("__bucket", bucket_expr(self.table.key[0], self.table.n_buckets))
-                .groupBy("__bucket")
-                .agg(
-                    F.sum(F.when(F.col("op") != "D", 1).otherwise(0)).alias("rows_upserted"),
-                    F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("rows_deleted"),
-                    F.min("lsn").alias("lsn_from"),
-                    F.max("lsn").alias("lsn_to"),
-                )
-                .collect()
-            )
-            try:
-                stats_row = obs.get
-            except Exception:
-                # degenerate (e.g. empty) batch: the observed metrics row may
-                # be unavailable — fall back to a direct aggregate
-                stats_row = batch.agg(
-                    F.sum(F.when(~F.coalesce(vp, F.lit(False)), 1).otherwise(0)).alias("nq"),
-                    F.min(F.when(vp, F.col("lsn"))).alias("mn"),
-                    F.max(F.when(vp, F.col("lsn"))).alias("mx"),
-                ).first()
-            n_quarantined = int(stats_row["nq"] or 0)
-            if n_quarantined and self.quarantine_dir:
-                quarantined.write.mode("append").parquet(self.quarantine_dir)
-
-            # project winners into target schema + op (lsn records the applied
-            # version; columns missing from an old-schema batch become null)
-            cols = []
-            for f in target_schema.fields:
-                if f.name in dedup.columns:
-                    cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
-                else:
-                    cols.append(F.lit(None).cast(f.dataType).alias(f.name))
-            changes = dedup.select(*cols, "op")
-
-            # Job 2: the MERGE itself (touched buckets + change count known
-            # from the lineage aggregate → strategy picked without extra jobs)
-            n_changes = sum(r["rows_upserted"] + r["rows_deleted"] for r in per_bucket)
-            if self.route_sql is not None:
-                # F3 dual-target routing: split winners by predicate; each
-                # target computes its own touched-bucket set
-                eph = changes.where(F.expr(self.route_sql))
-                perm = changes.where(
-                    ~F.coalesce(F.expr(self.route_sql), F.lit(False))
-                )
-                self.ephemeral_table.merge(
-                    eph, epoch_id=epoch_id, batch_max_lsn=stats_row["mx"],
-                    n_changes=n_changes,
-                )
-                stats = self.table.merge(
-                    perm, epoch_id=epoch_id, batch_max_lsn=stats_row["mx"],
-                    n_changes=n_changes,
-                )
-            else:
-                stats = self.table.merge(
-                    changes,
-                    epoch_id=epoch_id,
-                    batch_max_lsn=stats_row["mx"],
-                    touched=[r["__bucket"] for r in per_bucket],
-                    n_changes=n_changes,
-                )
-            if stats["status"] == "committed":
-                self._write_lineage(epoch_id, per_bucket, n_quarantined)
-            stats["rows_quarantined"] = n_quarantined
-            return stats
-        finally:
-            if dedup is not None:
-                dedup.unpersist()
+        if stats["status"] == "committed":
+            self._write_lineage(epoch_id, per_bucket, n_quarantined)
+        stats["rows_quarantined"] = n_quarantined
+        return stats
 
     def _write_lineage(self, epoch_id, per_bucket_rows, n_q):
         """Per-partition lineage manifest rows (FIXTURES.md §3), appended
@@ -183,7 +234,6 @@ class ChangeApplier:
             return
         import json
         import os
-        import time
 
         os.makedirs(self.lineage_dir, exist_ok=True)
         now = time.strftime("%Y-%m-%dT%H:%M:%S")
@@ -207,6 +257,18 @@ class ChangeApplier:
 
     def lineage(self) -> DataFrame:
         return self.table.spark.read.schema(schemas.LINEAGE_SCHEMA).json(self.lineage_dir)
+
+    def skipped_keys(self) -> DataFrame:
+        """The persisted skipped-key set (V4 continue mode), sorted by key —
+        the reference's sorted read-back of its skip store
+        (status-service/db/store.go:79-111)."""
+        if not self.quarantine_dir:
+            raise ValueError("no quarantine_dir configured")
+        q = self.table.spark.read.parquet(self.quarantine_dir)
+        return (
+            q.select("conv_id", "turn_idx", "lsn", "op", "__epoch_id")
+            .orderBy("conv_id", "turn_idx", "lsn")
+        )
 
 
 def replay_batch_range(

@@ -97,9 +97,20 @@ def run_stream(
     q = writer.start()
     try:
         q.awaitTermination()
-    except Exception:
+    except Exception as exc:
         q.stop()
-        if fail_after_batches is None:
+        # Swallow ONLY the injected crash marker (kill/resume tests); any
+        # other failure — including one that fires before the injected crash
+        # would — must surface, or resume tests assert on partial state.
+        def _chain(e):
+            seen = []
+            while e is not None and e not in seen:
+                seen.append(e)
+                e = e.__cause__ or e.__context__
+            return " | ".join(repr(x) + str(x) for x in seen)
+
+        if fail_after_batches is None or \
+                "injected crash for resume test" not in _chain(exc):
             raise
     finally:
         if listener is not None:

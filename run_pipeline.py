@@ -134,7 +134,8 @@ def main():
         report = {
             "version": m["version"],
             "cursor_lsn": m["cursor_lsn"],
-            "committed_epochs": m["committed_epochs"],
+            "epoch_hwm": m["epoch_hwm"],
+            "epochs_recent": m["epochs_recent"],
             "rows": snap.count(),
             "lsn_range": [intervals["from_lsn"], intervals["to_lsn"]] if intervals else None,
             "large_gaps": gaps,
@@ -144,6 +145,18 @@ def main():
             lin = spark.read.json(args.lineage)
             report["lineage_epochs"] = lin.select("epoch_id").distinct().count()
             report["rows_upserted_total"] = lin.agg(F.sum("rows_upserted")).first()[0]
+        # V4 persisted skipped-key set (served sorted, like the reference's
+        # status-service/db/store.go:109 read-back)
+        import os
+
+        qdir = f"{args.table}/_quarantine"
+        if os.path.isdir(qdir):
+            q = spark.read.parquet(qdir)
+            report["rows_skipped_total"] = q.count()
+            report["skipped_sample"] = [
+                {"conv_id": r["conv_id"], "turn_idx": r["turn_idx"], "lsn": r["lsn"]}
+                for r in q.orderBy("conv_id", "turn_idx", "lsn").limit(5).collect()
+            ]
         print(json.dumps(report, default=str))
 
 

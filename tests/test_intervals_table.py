@@ -26,7 +26,7 @@ def _mk(spark, rows):
 def test_widen_or_ignore_upsert(spark, tmpdir_path):
     tbl = TranscriptTable(
         spark, f"{tmpdir_path}/iv", n_buckets=2,
-        schema=INTERVAL_SCHEMA, key=("epoch", "from_lsn"),
+        schema=INTERVAL_SCHEMA, key=("epoch", "from_lsn"), order_col="to_lsn",
     )
     # initial intervals
     tbl.merge(_mk(spark, [(1, 0, 100, "I"), (2, 0, 50, "I")]),
@@ -43,3 +43,35 @@ def test_widen_or_ignore_upsert(spark, tmpdir_path):
               epoch_id=2, order_col="to_lsn")
     got = {(r["epoch"], r["from_lsn"]): r["to_lsn"] for r in tbl.snapshot().collect()}
     assert got[("3", 10)] == 90
+
+
+def test_overlap_conflict_raises(spark, tmpdir_path):
+    """D5 conflict branch (intervals_processor.go:124-137): an interval that
+    overlaps a stored one under the same epoch with a DIFFERENT `from` is an
+    illegal widen — hard error, nothing committed."""
+    import pytest
+
+    from go_data_publisher_spark.lake.table import OverlapConflictError
+
+    tbl = TranscriptTable(
+        spark, f"{tmpdir_path}/iv", n_buckets=2,
+        schema=INTERVAL_SCHEMA, key=("epoch", "from_lsn"), order_col="to_lsn",
+        overlap_guard=("from_lsn", "to_lsn"),
+    )
+    tbl.merge(_mk(spark, [(1, 0, 100, "I")]), epoch_id=0)
+    v = tbl.manifest()["version"]
+
+    # same key (epoch=1, from=0): widen — allowed, no conflict
+    tbl.merge(_mk(spark, [(1, 0, 150, "U")]), epoch_id=1)
+
+    # overlapping interval with different from under the same epoch: error
+    with pytest.raises(OverlapConflictError):
+        tbl.merge(_mk(spark, [(1, 50, 200, "I")]), epoch_id=2)
+    # nothing committed by the failed merge
+    assert not tbl.is_epoch_committed(2)
+    got = {(r["epoch"], r["from_lsn"]): r["to_lsn"] for r in tbl.snapshot().collect()}
+    assert got == {("1", 0): 150}
+
+    # disjoint interval under the same epoch: fine
+    tbl.merge(_mk(spark, [(1, 200, 300, "I")]), epoch_id=3)
+    assert tbl.snapshot().count() == 2

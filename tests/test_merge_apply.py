@@ -161,3 +161,104 @@ def test_bucket_pruning_only_touched_buckets_rewritten(spark, tmpdir_path):
     # all untouched bucket files survive verbatim
     assert len(files_before - files_after) <= 1
     assert len(files_after - files_before) <= 1
+
+
+SCHEMA9 = (
+    "lsn long, op string, conv_id string, turn_idx int, role string, "
+    "text string, tool string, ts timestamp, schema_version int"
+)
+
+
+def test_tombstone_survives_stale_cross_batch_update(spark, tmpdir_path):
+    """Merge-on-read keeps delete tombstones until compaction, so a replayed
+    OLDER update arriving in a later batch cannot resurrect a deleted row
+    (the round-1 copy-on-write caveat, now closed)."""
+    tbl = TranscriptTable(spark, f"{tmpdir_path}/tbl", n_buckets=4)
+    app = ChangeApplier(tbl)
+    app.apply_batch(
+        spark.createDataFrame([(5, "D", "c1", 0, None, None, None, None, 1)], SCHEMA9),
+        epoch_id=0,
+    )
+    app.apply_batch(
+        spark.createDataFrame([(3, "U", "c1", 0, "user", "stale", None, None, 1)], SCHEMA9),
+        epoch_id=1,
+    )
+    assert tbl.snapshot().count() == 0
+
+
+def test_retry_recovers_from_transient_sink_failures(spark, tmpdir_path):
+    """S7 sink retry (reference: bounded backoff on ES 429/5xx,
+    transactions-consumer/main.go:186-201): N transient write failures are
+    retried with backoff; the batch commits exactly once."""
+    from go_data_publisher_spark.streaming.apply import RetryPolicy
+
+    tbl = TranscriptTable(spark, f"{tmpdir_path}/tbl", n_buckets=4)
+    real_merge = tbl.merge
+    calls = {"n": 0}
+
+    def flaky_merge(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] <= 2:
+            raise OSError("simulated transient IO failure")
+        return real_merge(*a, **kw)
+
+    tbl.merge = flaky_merge
+    app = ChangeApplier(tbl, retry=RetryPolicy(max_attempts=5, base_delay=0.01))
+    stats = app.apply_batch(
+        spark.createDataFrame([(1, "I", "c1", 0, "user", "hi", None, None, 1)], SCHEMA9),
+        epoch_id=0,
+    )
+    assert stats["status"] == "committed" and calls["n"] == 3
+    assert tbl.snapshot().count() == 1
+    assert tbl.is_epoch_committed(0)
+
+
+def test_retry_does_not_mask_semantic_failures(spark, tmpdir_path):
+    """Non-retriable (schema-conflict-shaped) errors surface immediately."""
+    import pytest
+
+    from go_data_publisher_spark.streaming.apply import RetryPolicy
+
+    tbl = TranscriptTable(spark, f"{tmpdir_path}/tbl", n_buckets=4)
+    calls = {"n": 0}
+
+    def bad_merge(*a, **kw):
+        calls["n"] += 1
+        raise ValueError("incompatible schema change")
+
+    tbl.merge = bad_merge
+    app = ChangeApplier(tbl, retry=RetryPolicy(max_attempts=5, base_delay=0.01))
+    with pytest.raises(ValueError):
+        app.apply_batch(
+            spark.createDataFrame([(1, "I", "c1", 0, "user", "hi", None, None, 1)], SCHEMA9),
+            epoch_id=0,
+        )
+    assert calls["n"] == 1  # no retries on semantic failure
+
+
+def test_strict_mismatch_policy_aborts_batch(spark, tmpdir_path):
+    """V4 strict mode (reference: status-service/sync/tick_processor.go:
+    238-249 hard-error path): invalid rows abort the batch before anything
+    is applied."""
+    import pytest
+
+    from go_data_publisher_spark.streaming.apply import MismatchError
+
+    tbl = TranscriptTable(spark, f"{tmpdir_path}/tbl", n_buckets=4)
+    app = ChangeApplier(tbl, on_invalid="error")
+    batch = spark.createDataFrame(
+        [(1, "I", "c1", 0, "user", "ok", None, None, 1),
+         (2, "I", None, 0, "user", "bad key", None, None, 1)],
+        SCHEMA9,
+    )
+    with pytest.raises(MismatchError):
+        app.apply_batch(batch, epoch_id=0)
+    assert not tbl.is_epoch_committed(0)
+    assert tbl.snapshot().count() == 0
+    # the same batch under the continue policy applies the valid row and
+    # records the invalid one in the persisted skipped set
+    app2 = ChangeApplier(tbl, quarantine_dir=f"{tmpdir_path}/q")
+    stats = app2.apply_batch(batch, epoch_id=0)
+    assert stats["rows_quarantined"] == 1 and tbl.snapshot().count() == 1
+    skipped = app2.skipped_keys().collect()
+    assert len(skipped) == 1 and skipped[0]["lsn"] == 2 and skipped[0]["__epoch_id"] == 0

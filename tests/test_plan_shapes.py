@@ -73,3 +73,35 @@ def test_streaming_source_respects_max_files_per_trigger(spark, tmpdir_path):
     state = run_stream(spark, src, ChangeApplier(tbl), f"{tmpdir_path}/ck",
                        max_files_per_trigger=1)
     assert state["applied"] == 4  # one microbatch per file (Q2 clamp semantics)
+
+
+def test_monotonic_check_window_is_partitioned(spark):
+    """Q6 at scale: the violation count over the big table must run in a
+    window PARTITIONED by the seq-range slice (parallel), never a global
+    orderBy window (single reducer).  The only unpartitioned window allowed
+    is the O(n_parts) boundary stitch over the per-slice summary."""
+    from go_data_publisher_spark.operators.sequencing import verify_monotonic
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    df = verify_monotonic(ev, "event_id", attr_cols=("ts",), strict=False)
+    plan = _plan(df)
+    # the data-sized window partitions by the range slice
+    assert "hashpartitioning(__part" in plan
+
+
+def test_merge_on_read_snapshot_folds_with_partial_agg(spark, tmpdir_path):
+    """The MOR fold must be the skew-robust max_by hash aggregate with
+    map-side partial aggregation — same shape as the write-side dedup."""
+    from go_data_publisher_spark.lake.table import TranscriptTable
+    from go_data_publisher_spark.streaming.apply import ChangeApplier
+
+    tbl = TranscriptTable(spark, f"{tmpdir_path}/t", n_buckets=4)
+    log = generate_changelog(spark, 400, seed=11)
+    app = ChangeApplier(tbl)
+    app.apply_batch(log, epoch_id=0)
+    plan = _plan(tbl.snapshot())
+    assert "partial_max_by" in plan
+    # after compaction there are no deltas: the fold disappears entirely
+    tbl.compact()
+    plan2 = _plan(tbl.snapshot())
+    assert "max_by" not in plan2

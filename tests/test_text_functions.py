@@ -91,3 +91,44 @@ def test_hex_base64_transcode(spark):
     df = spark.createDataFrame([("deadbeef",)], "h string")
     out = df.select(base64_to_hex(hex_to_base64(F.col("h"))).alias("round"))
     assert out.first()["round"] == "deadbeef"
+
+
+def test_le_uint32_key_golden_bytes(spark):
+    """Bit-exact parity with the reference Kafka producer key
+    (transactions-producer/external/kafka/client.go:73-79):
+    binary.LittleEndian.PutUint32 — golden bytes from struct.pack('<I')."""
+    import struct
+
+    from go_data_publisher_spark.functions.codecs import (
+        le_uint32_key,
+        le_uint32_value,
+        to_wire_kafka,
+    )
+    from pyspark.sql import functions as F
+
+    ticks = [0, 1, 255, 256, 12345, 65536, 2**31 - 1, 2**32 - 1]
+    df = spark.createDataFrame([(t,) for t in ticks], "tick long")
+    got = {r["tick"]: bytes(r["key"]) for r in
+           df.select("tick", le_uint32_key(F.col("tick")).alias("key")).collect()}
+    for t in ticks:
+        assert got[t] == struct.pack("<I", t), f"tick {t}: {got[t].hex()}"
+    # round trip decode (consumer side)
+    back = df.select("tick", le_uint32_value(le_uint32_key(F.col("tick"))).alias("d"))
+    assert all(r["tick"] == r["d"] for r in back.collect())
+    # full Kafka record shape: (key binary, value json)
+    rec = to_wire_kafka(df, "tick").first()
+    assert isinstance(rec["key"], (bytes, bytearray)) and '"tick"' in rec["value"]
+
+
+def test_simhash_vectorized_matches_expression_form(spark):
+    """The numpy single-pass vote must be bit-identical to the pure-Catalyst
+    64-aggregate reference implementation."""
+    from go_data_publisher_spark.functions.text import simhash64, simhash64_expr
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
+    both = docs.select(
+        simhash64(F.col("text")).alias("fast"),
+        simhash64_expr(F.col("text")).alias("ref"),
+    )
+    assert both.where("fast <> ref").count() == 0

@@ -104,3 +104,59 @@ def test_embedding_near_duplicates(spark, vectors):
     pairs = {(r["id_a"], r["id_b"]) for r in
              D.embedding_near_duplicates(vectors, threshold=0.98, n_planes=8).collect()}
     assert (0, 100) in pairs and (0, 101) in pairs
+
+
+def test_simhash_banding_is_radius_complete(spark, corpus):
+    """Recall over the advertised hamming radius: the banded candidate
+    generation must find EVERY pair within max_hamming (pigeonhole needs
+    n_bands > max_hamming).  Oracle: brute-force hamming over the collected
+    signatures (6 docs)."""
+    from go_data_publisher_spark.functions.text import simhash64
+
+    sigs = {r["doc_id"]: r["sig"] for r in
+            corpus.select("doc_id", simhash64(F.col("text")).alias("sig")).collect()}
+    ids = sorted(sigs)
+    want = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1") <= 10
+    }
+    got = {(r["id_a"], r["id_b"]) for r in
+           D.simhash_near_duplicates(corpus, max_hamming=10).collect()}
+    assert got == want
+    # explicit n_bands below the completeness bound is rejected
+    with pytest.raises(ValueError, match="pigeonhole"):
+        D.simhash_near_duplicates(corpus, max_hamming=6, n_bands=4)
+
+
+def test_embedding_near_dup_matches_brute_force(spark, vectors):
+    """Banded RHP LSH + exact verify vs the all-pairs numpy oracle: exact
+    precision (the verify stage) and full recall at this band/plane setting
+    (miss probability ~(1-p^planes)^bands, negligible here)."""
+    import numpy as np
+
+    rows = vectors.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    ids = sorted(vecs)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            va, vb = vecs[a], vecs[b]
+            cos = va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
+            if cos >= 0.9:
+                want.add((a, b))
+    got = {(r["id_a"], r["id_b"]) for r in
+           D.embedding_near_duplicates(vectors, threshold=0.9, n_planes=4,
+                                       n_bands=16).collect()}
+    assert got == want and (0, 100) in got and (0, 101) in got
+
+
+def test_embedding_near_dup_caps_degenerate_buckets(spark):
+    """max_bucket_size bounds fan-out: 300 identical vectors would otherwise
+    produce 300² candidate pairs from every band; with the cap they are
+    skipped (exact dedup owns that pathology)."""
+    rows = [(i, [1.0, 0.0, 0.5, -0.25]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = D.embedding_near_duplicates(df, threshold=0.99, max_bucket_size=50)
+    assert got.count() == 0

@@ -37,7 +37,8 @@ def test_snapshot_time_travel(spark, tmpdir_path):
 
     hist = tbl.history()
     assert [h["version"] for h in hist] == sorted(h["version"] for h in hist)
-    assert hist[-1]["committed_epochs"] == [0, 1]
+    # bounded epoch state: both epochs folded into the high-watermark
+    assert hist[-1]["epoch_hwm"] == 1 and hist[-1]["epochs_recent"] == []
     # cursor advanced monotonically across versions
     cursors = [h["cursor_lsn"] for h in hist]
     assert cursors == sorted(cursors)
