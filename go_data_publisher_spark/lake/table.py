@@ -64,6 +64,27 @@ def bucket_expr(conv_col: str, n_buckets: int):
     return F.pmod(F.xxhash64(F.col(conv_col)), F.lit(n_buckets)).cast("int")
 
 
+def _footer_stats(path: str, order_col: str):
+    """(num_rows, min(order_col), max(order_col)) from the parquet footer —
+    no data pages read.  Falls back to (num_rows, None, None) when column
+    statistics are absent."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    try:
+        idx = md.schema.names.index(order_col)
+    except ValueError:
+        return md.num_rows, None, None
+    lo = hi = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            return md.num_rows, None, None
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    return md.num_rows, lo, hi
+
+
 class OverlapConflictError(ValueError):
     """D5 conflict branch: a batch interval overlaps a stored interval with a
     different lower bound (reference: tick-intervals-consumer/consume/
@@ -347,15 +368,14 @@ class TranscriptTable:
         ``batch_max_lsn`` overrides the cursor advance; by default the cursor
         advances to the batch's max order value.
         """
-        if self.is_epoch_committed(epoch_id):
+        m = self.manifest()
+        if int(epoch_id) <= int(m["epoch_hwm"]) or int(epoch_id) in set(m["epochs_recent"]):
             return {"status": "skipped_replay", "epoch_id": epoch_id}
         if order_col is not None and order_col != self.order_col:
             raise ValueError(
                 f"merge order_col {order_col!r} != table order_col "
                 f"{self.order_col!r} (set order_col at table construction)"
             )
-
-        m = self.manifest()
         target_schema = self.schema
         cols = [f.name for f in target_schema.fields]
 
@@ -377,47 +397,60 @@ class TranscriptTable:
         if self.overlap_guard is not None:
             self._check_overlap(changes)
 
-        changes = changes.withColumn("__bucket", bucket_expr(self.key[0], self.n_buckets))
+        changes = (
+            changes.withColumn("__bucket", bucket_expr(self.key[0], self.n_buckets))
+            .withColumn("__del", (F.col("op") == "D").cast("int"))
+        )
 
-        # Delta write: one output dir per commit, partitioned by bucket, one
-        # writer task per bucket → at most one file per touched bucket per
-        # commit (empty tasks write nothing).
+        # Delta write: one output dir per commit, partitioned by
+        # (bucket, is-delete), one writer task per bucket → at most two files
+        # per touched bucket per commit (empty tasks write nothing).  ``op``
+        # stays a data column — snapshot() reads files by path and never sees
+        # the partition dirs.  This is the ONLY Spark job of the merge:
+        # per-bucket lineage counters come from the parquet footers below.
         commit_id = uuid.uuid4().hex[:12]
         out_dir = f"{self.root}/data/commit={commit_id}"
         (changes.repartition(self.n_buckets, "__bucket")
-                .write.mode("overwrite").partitionBy("__bucket").parquet(out_dir))
+                .write.mode("overwrite").partitionBy("__bucket", "__del").parquet(out_dir))
 
-        # Enumerate written files per bucket (driver-side metadata only).
+        # Enumerate written files and derive lineage counters from parquet
+        # footer metadata (row counts + order-col min/max column statistics):
+        # driver-side metadata reads of ≤ 2·n_buckets small footers — the
+        # same stats-from-manifest trick Iceberg uses, replacing a whole
+        # post-write aggregation job per commit.
         seq = m["version"] + 1
         sid = int(m["current_schema_id"])
         new_files = []
-        for entry in sorted(os.listdir(out_dir)):
-            if not entry.startswith("__bucket="):
+        per_bucket_map: dict[int, dict] = {}
+        for bdir in sorted(os.listdir(out_dir)):
+            if not bdir.startswith("__bucket="):
                 continue
-            b = int(entry.split("=")[1])
-            for name in sorted(os.listdir(f"{out_dir}/{entry}")):
-                if name.endswith(".parquet"):
-                    new_files.append({"path": f"{out_dir}/{entry}/{name}", "bucket": b,
+            b = int(bdir.split("=")[1])
+            for ddir in sorted(os.listdir(f"{out_dir}/{bdir}")):
+                if not ddir.startswith("__del="):
+                    continue
+                is_del = int(ddir.split("=")[1]) == 1
+                for name in sorted(os.listdir(f"{out_dir}/{bdir}/{ddir}")):
+                    if not name.endswith(".parquet"):
+                        continue
+                    path = f"{out_dir}/{bdir}/{ddir}/{name}"
+                    new_files.append({"path": path, "bucket": b,
                                       "schema_id": sid, "kind": "delta", "seq": seq})
-
-        # Per-bucket lineage counters: a 3-column scan of the fresh delta
-        # (columnar, batch-sized — the only post-write job).
-        per_bucket = []
-        if new_files:
-            per_bucket = (
-                self.spark.read.parquet(out_dir)
-                .groupBy("__bucket")
-                .agg(
-                    F.sum(F.when(F.col("op") != "D", 1).otherwise(0)).alias("rows_upserted"),
-                    F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("rows_deleted"),
-                    F.min(self.order_col).alias("lsn_from"),
-                    F.max(self.order_col).alias("lsn_to"),
-                )
-                .collect()
-            )
-        touched = sorted(int(r["__bucket"]) for r in per_bucket)
+                    n_rows, omin, omax = _footer_stats(path, self.order_col)
+                    st = per_bucket_map.setdefault(b, {
+                        "__bucket": b, "rows_upserted": 0, "rows_deleted": 0,
+                        "lsn_from": None, "lsn_to": None,
+                    })
+                    st["rows_deleted" if is_del else "rows_upserted"] += n_rows
+                    if omin is not None:
+                        st["lsn_from"] = omin if st["lsn_from"] is None else min(st["lsn_from"], omin)
+                    if omax is not None:
+                        st["lsn_to"] = omax if st["lsn_to"] is None else max(st["lsn_to"], omax)
+        per_bucket = [per_bucket_map[b] for b in sorted(per_bucket_map)]
+        touched = sorted(per_bucket_map)
         if batch_max_lsn is None and per_bucket:
-            batch_max_lsn = max(r["lsn_to"] for r in per_bucket)
+            tos = [r["lsn_to"] for r in per_bucket if r["lsn_to"] is not None]
+            batch_max_lsn = max(tos) if tos else None
 
         self._commit(m, files=m["files"] + new_files, epoch_id=epoch_id,
                      batch_max_lsn=batch_max_lsn)

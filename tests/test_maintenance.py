@@ -46,6 +46,6 @@ def test_compact_and_vacuum(spark, tmpdir_path):
     assert on_disk == kept_manifest_refs
     assert live <= on_disk
 
-    # replay guard survives vacuum (committed_epochs kept in current manifest)
+    # replay guard survives vacuum (epoch hwm kept in current manifest)
     stats2 = app.apply_batch(log.where(F.col("lsn").between(*bounds[0])), epoch_id=0)
     assert stats2["status"] == "skipped_replay"
