@@ -283,12 +283,15 @@ class TranscriptTable:
         if not files:
             return self.spark.createDataFrame([], target)
         has_delta = any(f.get("kind", "base") == "delta" for f in files)
-        groups: dict[tuple[int, int, str], list[str]] = {}
+        # Every data file carries (op, __seq) as data columns, so files group
+        # by SCHEMA ID only — the union stays O(live schemas) wide no matter
+        # how many commits are live (a per-commit read group would grow the
+        # driver plan without bound between compactions).
+        groups: dict[int, list[str]] = {}
         for f in files:
-            k = (int(f["schema_id"]), int(f.get("seq", 0)), f.get("kind", "base"))
-            groups.setdefault(k, []).append(f["path"])
+            groups.setdefault(int(f["schema_id"]), []).append(f["path"])
         parts = []
-        for (sid, seq, kind), paths in groups.items():
+        for sid, paths in groups.items():
             df = self.spark.read.parquet(*paths)
             cols = [F.col(f.name).cast(f.dataType).alias(f.name) for f in target.fields
                     if f.name in df.columns]
@@ -298,7 +301,10 @@ class TranscriptTable:
                 cols.append(
                     (F.col("op") if "op" in df.columns else F.lit("U")).alias("op")
                 )
-                cols.append(F.lit(seq).alias("__seq"))
+                cols.append(
+                    (F.col("__seq") if "__seq" in df.columns else F.lit(0).cast("long"))
+                    .alias("__seq")
+                )
             parts.append(df.select(*cols).select(
                 out_cols + (["op", "__seq"] if has_delta else [])
             ))
@@ -397,9 +403,11 @@ class TranscriptTable:
         if self.overlap_guard is not None:
             self._check_overlap(changes)
 
+        seq = m["version"] + 1
         changes = (
             changes.withColumn("__bucket", bucket_expr(self.key[0], self.n_buckets))
             .withColumn("__del", (F.col("op") == "D").cast("int"))
+            .withColumn("__seq", F.lit(seq).cast("long"))
         )
 
         # Delta write: one output dir per commit, partitioned by
@@ -418,7 +426,6 @@ class TranscriptTable:
         # driver-side metadata reads of ≤ 2·n_buckets small footers — the
         # same stats-from-manifest trick Iceberg uses, replacing a whole
         # post-write aggregation job per commit.
-        seq = m["version"] + 1
         sid = int(m["current_schema_id"])
         new_files = []
         per_bucket_map: dict[int, dict] = {}
@@ -547,9 +554,16 @@ class TranscriptTable:
         delta counts is how a 100 TB table keeps read amplification bounded
         without ever rewriting the whole table at once."""
         m = self.manifest()
+        seq = m["version"] + 1
         target_buckets = set(range(self.n_buckets)) if buckets is None else set(buckets)
-        df = self.snapshot(buckets=sorted(target_buckets)) \
-                 .withColumn("__bucket", bucket_expr(self.key[0], self.n_buckets))
+        df = (
+            self.snapshot(buckets=sorted(target_buckets))
+            .withColumn("__bucket", bucket_expr(self.key[0], self.n_buckets))
+            # base rows carry (op, __seq) as data columns too, so all live
+            # files share one read schema per schema id (see snapshot())
+            .withColumn("op", F.lit("U"))
+            .withColumn("__seq", F.lit(seq).cast("long"))
+        )
         commit_id = uuid.uuid4().hex[:12]
         out_dir = f"{self.root}/data/commit={commit_id}"
         df.repartition(self.n_buckets, "__bucket").write.mode("overwrite") \

@@ -101,6 +101,7 @@ class ChangeApplier:
         ephemeral_table: TranscriptTable | None = None,
         on_invalid: str = "quarantine",
         retry: RetryPolicy | None = None,
+        compact_delta_files: int | None = None,
     ):
         """``route_sql`` + ``ephemeral_table``: F3 routing — winners matching
         the predicate are merged into a second target instead of the main
@@ -117,6 +118,13 @@ class ChangeApplier:
         ``retry``: RetryPolicy wrapped around every sink write (merge +
         quarantine).  Defaults to 5 attempts of exponential backoff with
         jitter; pass RetryPolicy(max_attempts=1) to disable.
+
+        ``compact_delta_files``: merge-on-read maintenance policy — after a
+        commit, any bucket whose live delta-file count reaches this
+        threshold is compacted back to a single base file group (incremental
+        per-bucket fold, bounding read amplification without ever rewriting
+        the whole table at once).  None disables inline compaction (run
+        `table.compact()` out of band instead).
         """
         self.table = table
         self.quarantine_dir = quarantine_dir
@@ -129,6 +137,7 @@ class ChangeApplier:
             raise ValueError("on_invalid must be 'quarantine' or 'error'")
         self.on_invalid = on_invalid
         self.retry = retry or RetryPolicy()
+        self.compact_delta_files = compact_delta_files
         if (route_sql is None) != (ephemeral_table is None):
             raise ValueError("route_sql and ephemeral_table must be set together")
 
@@ -222,6 +231,14 @@ class ChangeApplier:
 
         if stats["status"] == "committed":
             self._write_lineage(epoch_id, per_bucket, n_quarantined)
+            if self.compact_delta_files is not None:
+                hot = sorted(
+                    b for b, n in self.table.delta_file_counts().items()
+                    if n >= self.compact_delta_files
+                )
+                if hot:
+                    self.retry.run(lambda: self.table.compact(buckets=hot))
+                    stats["compacted_buckets"] = hot
         stats["rows_quarantined"] = n_quarantined
         return stats
 

@@ -49,3 +49,30 @@ def test_compact_and_vacuum(spark, tmpdir_path):
     # replay guard survives vacuum (epoch hwm kept in current manifest)
     stats2 = app.apply_batch(log.where(F.col("lsn").between(*bounds[0])), epoch_id=0)
     assert stats2["status"] == "skipped_replay"
+
+
+def test_inline_compaction_policy(spark, tmpdir_path):
+    """compact_delta_files: buckets accumulating deltas past the threshold
+    are folded back to base incrementally during the stream, keeping
+    read amplification bounded without whole-table rewrites."""
+    root = f"{tmpdir_path}/tbl"
+    tbl = TranscriptTable(spark, root, n_buckets=4)
+    app = ChangeApplier(tbl, compact_delta_files=3)
+    log = generate_changelog(spark, 3000, n_convs=40, seed=77).persist()
+    lo, hi = log.agg(F.min("lsn"), F.max("lsn")).first()
+    span = (hi - lo) // 6 + 1
+    bounds = [(lo + i * span, min(hi, lo + (i + 1) * span - 1)) for i in range(6)]
+    stats = replay_batch_range(app, log, bounds)
+    assert any("compacted_buckets" in s for s in stats)
+    # policy held: no bucket carries >= 3+1 deltas after any commit
+    assert all(n <= 3 for n in tbl.delta_file_counts().values())
+    # state identical to a never-compacted replay
+    from conftest import pandas_final_state
+    import pandas as pd
+
+    snap = tbl.snapshot().orderBy("conv_id", "turn_idx").toPandas()
+    oracle = pandas_final_state(log.toPandas()).sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_series_equal(
+        snap["text"].reset_index(drop=True), oracle["text"].reset_index(drop=True),
+        check_names=False, obj="text")
