@@ -244,6 +244,68 @@ SQL_RANGE_JOIN = """
 """
 
 
+def q_range_join_chunked(spark, sf_dir):
+    """Q3 at web scale: the same range-containment aggregate as
+    `range_join`, planned as a chunked shuffled equi-join instead of a
+    broadcast nested loop (operators/sequencing.py:range_join_chunked) —
+    the shape that survives an intervals side too large to broadcast."""
+    ev = _t(spark, sf_dir, "events")
+    intervals = Q.group_intervals(ev, ["user_id"], "event_id").select(
+        F.col("user_id").alias("iv_user"), "from_lsn", "to_lsn"
+    )
+    joined = Q.range_join_chunked(
+        ev, intervals, lsn_col="event_id", chunk=1024, how="inner"
+    )
+    return joined.groupBy("event_id").agg(F.count(F.lit(1)).alias("n_containing"))
+
+
+SQL_RANGE_JOIN_CHUNKED = SQL_RANGE_JOIN
+
+
+def q_windowed_counts(spark, sf_dir):
+    """Event-time tumbling-window throughput counters
+    (streaming/windows.py:windowed_event_counts, batch form — streaming form
+    with watermark late-drop is pytest-covered in test_windowed_stream.py).
+    Window bounds are emitted as epoch seconds so the comparison is
+    timezone-free."""
+    from go_data_publisher_spark.streaming.windows import windowed_event_counts
+
+    ev = _t(spark, sf_dir, "events")
+    out = windowed_event_counts(
+        ev, ts_col="ts", window_duration="6 hours",
+        keys=("event_type",), lsn_col="event_id",
+    )
+    # tz-free epoch seconds: NTZ minus the NTZ epoch literal (the parquet ts
+    # is TIMESTAMP_NTZ; a session-timezone-dependent cast would break parity
+    # with DuckDB's naive epoch())
+    def _sec(c):
+        return F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+            f"CAST({c} AS TIMESTAMP_NTZ))"
+        )
+
+    return out.select(
+        _sec("window_start").alias("window_start_s"),
+        _sec("window_end").alias("window_end_s"),
+        "event_type",
+        "n_events",
+        F.col("min_lsn").alias("min_event_id"),
+        F.col("max_lsn").alias("max_event_id"),
+    )
+
+
+SQL_WINDOWED_COUNTS = """
+  SELECT CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) AS window_start_s,
+         CAST(floor(epoch(ts) / 21600) * 21600 + 21600 AS BIGINT) AS window_end_s,
+         event_type,
+         count(*) AS n_events,
+         min(event_id) AS min_event_id,
+         max(event_id) AS max_event_id
+  FROM events
+  GROUP BY 1, 2, 3
+"""
+
+
 def q_monotonicity(spark, sf_dir):
     """Q6 at scale: range-partitioned violation count + O(n_parts) boundary
     stitch — no global-window single-reducer pass (see
@@ -350,6 +412,37 @@ SQL_DEDUP_EXACT_DOCS = """
 """
 
 
+def q_dedup_clusters_docs(spark, sf_dir):
+    """Transitive near-dup clustering: pairs → connected components →
+    (doc_id, cluster_id = min id in component), via distributed iterative
+    min-label propagation with pointer jumping
+    (operators/textdedup.py:dedup_clusters).  The edge rule here (consecutive
+    doc_id within the same lang) is chosen to be SQL-expressible so the
+    component result gets a full DuckDB oracle (gaps-and-islands form); the
+    production edge source is any pair generator (minhash/simhash/embedding).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("lang").alias("__la"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("lang").alias("__lb"))
+    pairs = a.join(
+        b, (F.col("id_b") == F.col("id_a") + 1) & (F.col("__la") == F.col("__lb"))
+    ).select("id_a", "id_b")
+    out = TD.dedup_clusters(pairs, nodes=docs.select(F.col("doc_id").alias("id")))
+    return out.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+SQL_DEDUP_CLUSTERS = """
+  WITH runs AS (
+    SELECT doc_id, lang,
+           doc_id - ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS grp
+    FROM documents
+  )
+  SELECT doc_id,
+         min(doc_id) OVER (PARTITION BY lang, grp) AS cluster_id
+  FROM runs
+"""
+
+
 def q_docs_token_stats(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     n_tokens = TX.whitespace_token_count(F.col("text")).cast("long")
@@ -367,6 +460,49 @@ SQL_DOCS_TOKEN_STATS = """
          CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
          round(length(text) / len(regexp_split_to_array(trim(text), '\\s+')), 4) AS avg_token_len
   FROM documents
+"""
+
+
+def q_docs_sample(spark, sf_dir):
+    """Reproducible corpus subsetting (operators/sampling.py): md5-threshold
+    sample — layout-independent, shuffle-free, composable; the portable-hash
+    predicate lets the DuckDB oracle run the very same filter."""
+    from go_data_publisher_spark.operators.sampling import deterministic_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return deterministic_sample(docs, 0.25, "doc_id").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+SQL_DOCS_SAMPLE = """
+  SELECT doc_id, lang, n_chars
+  FROM documents
+  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
+"""
+
+
+def q_docs_quota(spark, sf_dir):
+    """Mixture balancing: at most 20 docs per lang, winners picked in md5
+    hash order (operators/sampling.py:quota_per_group)."""
+    from go_data_publisher_spark.operators.sampling import quota_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    return quota_per_group(docs, ["lang"], quota=20, key_col="doc_id").select(
+        "doc_id", "lang"
+    )
+
+
+SQL_DOCS_QUOTA = """
+  SELECT doc_id, lang
+  FROM (
+    SELECT doc_id, lang,
+           ROW_NUMBER() OVER (
+             PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR))
+           ) AS rn
+    FROM documents
+  )
+  WHERE rn <= 20
 """
 
 
@@ -638,13 +774,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unprocessed_suffix": q_unprocessed_suffix,
         "gap_detection": q_gap_detection,
         "range_join": q_range_join,
+        "range_join_chunked": q_range_join_chunked,
+        "windowed_counts": q_windowed_counts,
         "monotonicity": q_monotonicity,
         "interval_trim": q_interval_trim,
         "route_filter": q_route_filter,
         "set_difference": q_set_difference,
         "count_equality": q_count_equality,
         "dedup_exact_docs": q_dedup_exact_docs,
+        "dedup_clusters_docs": q_dedup_clusters_docs,
         "docs_token_stats": q_docs_token_stats,
+        "docs_sample": q_docs_sample,
+        "docs_quota": q_docs_quota,
         "docs_fingerprint": q_docs_fingerprint,
         "docs_transcode": q_docs_transcode,
         "batch_bounds": q_batch_bounds,
@@ -674,13 +815,18 @@ def oracle_sql() -> dict[str, str]:
         "unprocessed_suffix": SQL_UNPROCESSED_SUFFIX,
         "gap_detection": SQL_GAP_DETECTION,
         "range_join": SQL_RANGE_JOIN,
+        "range_join_chunked": SQL_RANGE_JOIN_CHUNKED,
+        "windowed_counts": SQL_WINDOWED_COUNTS,
         "monotonicity": SQL_MONOTONICITY,
         "interval_trim": SQL_INTERVAL_TRIM,
         "route_filter": SQL_ROUTE_FILTER,
         "set_difference": SQL_SET_DIFFERENCE,
         "count_equality": SQL_COUNT_EQUALITY,
         "dedup_exact_docs": SQL_DEDUP_EXACT_DOCS,
+        "dedup_clusters_docs": SQL_DEDUP_CLUSTERS,
         "docs_token_stats": SQL_DOCS_TOKEN_STATS,
+        "docs_sample": SQL_DOCS_SAMPLE,
+        "docs_quota": SQL_DOCS_QUOTA,
         "docs_fingerprint": SQL_DOCS_FINGERPRINT,
         "docs_transcode": SQL_DOCS_TRANSCODE,
         "batch_bounds": SQL_BATCH_BOUNDS,

@@ -45,6 +45,54 @@ def epoch_for_lsn(events: DataFrame, intervals: DataFrame, lsn_col="lsn",
     )
 
 
+def range_join_chunked(events: DataFrame, intervals: DataFrame, lsn_col="lsn",
+                       lo_col="from_lsn", hi_col="to_lsn", chunk: int = 1 << 16,
+                       how: str = "inner") -> DataFrame:
+    """Q3 at web scale: range-containment join WITHOUT broadcasting.
+
+    `epoch_for_lsn` broadcasts the interval side — right for the reference's
+    one-row-per-epoch dimension, wrong once intervals grow with key
+    cardinality (per-user/per-conversation ranges): a broadcast nested-loop
+    over a large build side is O(events × intervals) per task and the
+    broadcast itself stops fitting.  Here both sides map into coarse chunks
+    of the sequence space — an interval [lo, hi] explodes to the
+    ``span/chunk + 1`` chunk ids it overlaps, an event maps to exactly one —
+    and the join becomes a plain shuffled equi-join on chunk id plus the
+    exact containment filter.  Partition-parallel, no broadcast, no nested
+    loop; per-interval fan-out is bounded by ``span/chunk + 1``, so pick
+    ``chunk`` near the typical interval span.
+
+    ``how``: "inner" or "left".  Left semantics survive the chunk mapping
+    because only the *interval* side is exploded — an event carries a single
+    chunk id, so an event matching no interval yields exactly one
+    null-extended row.
+
+    Reference parity: same containment semantics as epoch_for_lsn
+    (status-service epoch lookup); the chunking is the standard
+    bin/overlap-range-join decomposition Spark lacks natively.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("how must be 'inner' or 'left'")
+
+    def _chunk_of(col):
+        return F.floor(col / F.lit(int(chunk))).cast("long")
+
+    iv = (
+        intervals.where(F.col(lo_col) <= F.col(hi_col))
+        .withColumn(
+            "__i_chunk",
+            F.explode(F.sequence(_chunk_of(F.col(lo_col)), _chunk_of(F.col(hi_col)))),
+        )
+    )
+    ev = events.withColumn("__e_chunk", _chunk_of(F.col(lsn_col)))
+    cond = (
+        (ev["__e_chunk"] == iv["__i_chunk"])
+        & (ev[lsn_col] >= iv[lo_col])
+        & (ev[lsn_col] <= iv[hi_col])
+    )
+    return ev.join(iv, cond, how).drop("__e_chunk", "__i_chunk")
+
+
 def verify_monotonic(intervals: DataFrame, seq_col: str, attr_cols=("epoch", "from_lsn"),
                      strict: bool = True, n_parts: int = 256) -> DataFrame:
     """Q6: count rows where the attribute tuple regresses in ``seq_col``

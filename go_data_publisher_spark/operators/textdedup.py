@@ -262,6 +262,92 @@ def simhash_near_duplicates(df: DataFrame, id_col="doc_id", text_col="text",
 
 
 # ---------------------------------------------------------------------------
+# clusters + survivor selection (pairs → components → keep one per cluster)
+# ---------------------------------------------------------------------------
+
+def dedup_clusters(pairs: DataFrame, nodes: DataFrame | None = None,
+                   id_a: str = "id_a", id_b: str = "id_b",
+                   max_iters: int = 30) -> DataFrame:
+    """Connected components over a near-duplicate pair graph.
+
+    The missing last stage of the dedup story: `minhash_lsh_pairs` /
+    `simhash_near_duplicates` / `embedding_near_duplicates` emit *pairs*, but
+    near-duplicates are transitive in practice (A~B, B~C ⇒ {A,B,C} is one
+    content cluster), so survivor selection needs components, not edges.
+
+    Iterative min-label propagation with pointer jumping, all distributed:
+    each round every node takes the min label among itself and its
+    neighbours (one shuffle join + partial-agg groupBy), then short-circuits
+    to its label's label (one more join) — the pointer-jumping step makes
+    convergence O(log diameter) rounds instead of O(diameter).  Each round
+    ends in an eager localCheckpoint to truncate lineage (an unbounded
+    iterative plan would otherwise grow the driver's plan tree per round).
+    No collect of data-sized results; the convergence probe is a 1-row
+    aggregate.
+
+    ``nodes`` (one ``id`` column) adds isolated vertices (docs with no pair)
+    as singleton clusters; defaults to the ids appearing in ``pairs``.
+    Returns (id, cluster_id) where cluster_id = min id in the component.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    if nodes is None:
+        nodes = edges.select(F.col("src").alias("id")).distinct()
+    labels = nodes.select("id", F.col("id").alias("comp")).localCheckpoint(eager=True)
+
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("comp").alias("__nbr_comp"))
+        )
+        stepped = (
+            labels.join(nbr, labels["id"] == nbr["src"], "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce("__nbr_comp", "comp")).alias("comp"),
+            )
+        )
+        ptr = stepped.select(F.col("id").alias("__pid"), F.col("comp").alias("__pcomp"))
+        jumped = (
+            stepped.join(ptr, stepped["comp"] == ptr["__pid"], "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce("__pcomp", "comp")).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_changed = (
+            labels.select("id", F.col("comp").alias("__old"))
+            .join(jumped, on="id")
+            .where(F.col("__old") != F.col("comp"))
+            .limit(1)
+            .count()
+        )
+        labels = jumped
+        if n_changed == 0:
+            break
+    return labels.select("id", F.col("comp").alias("cluster_id"))
+
+
+def near_dup_survivors(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                       id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Keep one representative (min id) per near-dup cluster; docs in no
+    pair survive as singletons.  Input pairs come from any of the pair
+    generators above."""
+    clusters = dedup_clusters(
+        pairs, nodes=df.select(F.col(id_col).alias("id")), id_a=id_a, id_b=id_b
+    )
+    reps = clusters.where(F.col("id") == F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(reps, on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
 # embedding near-dup
 # ---------------------------------------------------------------------------
 

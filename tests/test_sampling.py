@@ -1,0 +1,70 @@
+"""Deterministic sampling / quota operators: stability, composition, caps."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from go_data_publisher_spark.operators.sampling import (
+    deterministic_sample,
+    quota_per_group,
+)
+
+
+def _py_keep(key, fraction, salt=""):
+    h = hashlib.md5(f"{key}{salt}".encode()).hexdigest()[:8]
+    return h < format(int(fraction * (1 << 32)), "08x")
+
+
+def test_sample_matches_python_hash(spark):
+    df = spark.range(2000).select(F.col("id"))
+    got = sorted(r.id for r in deterministic_sample(df, 0.3, "id").collect())
+    want = sorted(i for i in range(2000) if _py_keep(i, 0.3))
+    assert got == want
+    # roughly the asked fraction
+    assert 0.25 < len(got) / 2000 < 0.35
+
+
+def test_sample_is_stable_under_repartition(spark):
+    df = spark.range(1000)
+    a = set(r.id for r in deterministic_sample(df, 0.5, "id").collect())
+    b = set(
+        r.id for r in deterministic_sample(df.repartition(13), 0.5, "id").collect()
+    )
+    assert a == b
+
+
+def test_sample_composes(spark):
+    df = spark.range(5000)
+    nested = deterministic_sample(deterministic_sample(df, 0.5, "id"), 0.2, "id")
+    direct = deterministic_sample(df, 0.2, "id")
+    assert set(r.id for r in nested.collect()) == set(
+        r.id for r in direct.collect()
+    )
+
+
+def test_salt_decorrelates(spark):
+    df = spark.range(4000)
+    a = set(r.id for r in deterministic_sample(df, 0.5, "id", salt="a").collect())
+    b = set(r.id for r in deterministic_sample(df, 0.5, "id", salt="b").collect())
+    overlap = len(a & b) / max(1, min(len(a), len(b)))
+    assert 0.3 < overlap < 0.7  # independent halves overlap ~50%
+
+
+def test_quota_per_group(spark):
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3)) for i in range(100)], "id long, grp string"
+    )
+    out = quota_per_group(df, "grp", quota=5, key_col="id")
+    counts = {r.grp: r.n for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"g0": 5, "g1": 5, "g2": 5}
+    # winners are the 5 smallest md5 hashes per group — stable across runs
+    again = quota_per_group(df.repartition(7), "grp", quota=5, key_col="id")
+    assert set(map(tuple, out.collect())) == set(map(tuple, again.collect()))
+
+
+def test_quota_smaller_groups_untouched(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], "id long, grp string")
+    out = quota_per_group(df, "grp", quota=10, key_col="id")
+    assert out.count() == 3
