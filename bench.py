@@ -77,6 +77,17 @@ def bench_merge_throughput(spark, n_events: int, n_chunks: int = 4) -> dict:
         span = (hi - lo) // n_chunks + 1
         bounds = [(lo + i * span, min(hi, lo + (i + 1) * span - 1)) for i in range(n_chunks)]
 
+        # One full-size warm-up replay chunk into a throwaway table, outside
+        # the timed region: the first execution of the scan→dedup→bucket-write
+        # pipeline at full data shape pays one-time JIT/codegen cost (measured
+        # ~19s at 32 threads, then 3-5s per identical chunk).  Steady-state
+        # throughput is the engine number; a long-running CDC ingest is in
+        # steady state its whole life.
+        warm_tbl = TranscriptTable(spark, f"{root}/warm", n_buckets=32)
+        ChangeApplier(warm_tbl).apply_batch(
+            log.where(F.col("lsn").between(*bounds[0])), epoch_id=0
+        )
+
         t0 = time.perf_counter()
         replay_batch_range(app, log, bounds)
         dt = time.perf_counter() - t0

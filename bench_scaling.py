@@ -61,6 +61,10 @@ try:
     lo, hi = log.agg(F.min("lsn"), F.max("lsn")).first()
     span = (hi - lo) // n_chunks + 1
     bounds = [(lo + i*span, min(hi, lo + (i+1)*span - 1)) for i in range(n_chunks)]
+    # full-size warm-up chunk (untimed, throwaway table): excludes one-time
+    # JIT/codegen warmup from BOTH levels so efficiency compares steady state
+    warm = TranscriptTable(spark, f"{root}/warm", n_buckets=32)
+    ChangeApplier(warm).apply_batch(log.where(F.col("lsn").between(*bounds[0])), epoch_id=0)
     t0 = time.perf_counter()
     replay_batch_range(app, log, bounds)
     dt = time.perf_counter() - t0
@@ -166,9 +170,9 @@ partitions) at every level; only executor-thread count varies.  Best of
 |---|---|---|---|---|---|---|
 {chr(10).join(rows)}
 
-**Headline: N→4N speedup {lead['speedup']:.2f}×, host-normalized scaling
-efficiency {lead['normalized_efficiency']:.2f} (target ≥ 0.8) at the
-{lead['pair']} step.**
+**Headline: N→4N speedup {lead['speedup']:.2f}×, RAW scaling efficiency
+{lead['scaling_efficiency']:.2f} (target ≥ 0.8; host-normalized
+{lead['normalized_efficiency']:.2f}) at the {lead['pair']} step.**
 
 **Host ceiling calibration**: the same N→4N step for a pure
 embarrassingly-parallel JVM aggregation (`spark.range(1e9) → xxhash64 →

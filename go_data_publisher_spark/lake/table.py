@@ -418,8 +418,15 @@ class TranscriptTable:
         # per-bucket lineage counters come from the parquet footers below.
         commit_id = uuid.uuid4().hex[:12]
         out_dir = f"{self.root}/data/commit={commit_id}"
+        # Delta files get a small row-group target (vs the 128 MB default):
+        # each writer task buffers a full row group per open file on-heap, so
+        # at high task concurrency the default measures GC, not the engine
+        # (measured 12s → 4s per write stage at 32 threads).  Deltas are
+        # batch-sized and folded/compacted away, so scan-side row-group size
+        # doesn't matter; compact() writes base files with the default.
         (changes.repartition(self.n_buckets, "__bucket")
-                .write.mode("overwrite").partitionBy("__bucket", "__del").parquet(out_dir))
+                .write.mode("overwrite").option("parquet.block.size", 16 << 20)
+                .partitionBy("__bucket", "__del").parquet(out_dir))
 
         # Enumerate written files and derive lineage counters from parquet
         # footer metadata (row counts + order-col min/max column statistics):
