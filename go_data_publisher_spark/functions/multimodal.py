@@ -1,15 +1,27 @@
-"""Multimodal column plumbing: image/audio/video as opaque binary + metadata.
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-The image/audio decode libraries are not available in this container, so the
-decode kernels are STUBS (deterministic fakes clearly marked below); the
-Spark-side plumbing — schema, partitioning, mapInPandas batch shape, Arrow
-transfer — is real and tested.  On a cluster with Pillow/librosa installed,
-replace `_decode_image_stub` / `_decode_audio_stub` with the real kernels;
-nothing else changes.
+Decode kernels come in two tiers:
+
+- REAL codecs for container formats parseable with stdlib + numpy alone —
+  netpbm images (P5 grayscale / P6 RGB) and RIFF/WAV PCM audio (the `wave`
+  stdlib module).  These are genuine decoders: the test fixture encodes
+  real rasters/waveforms and the features are computed from the decoded
+  samples, roundtrip-pinned by tests.
+- A deterministic STUB fallback for codecs whose libraries are not in this
+  container (JPEG/PNG via Pillow, MP3/FLAC via soundfile/librosa, video
+  frames via PyAV).  The fallback is clearly marked; on a cluster with
+  those libs, extend `_decode_image` / `_decode_audio` dispatch — the
+  Spark-side plumbing (schema, partitioning, mapInPandas Arrow batch shape)
+  does not change.
+
+Per-batch loops run over *media blobs*, which is unavoidable at a codec
+boundary (each blob is one decode call); all sample math is numpy.
 """
 
 from __future__ import annotations
 
+import io
+import wave
 from collections.abc import Iterator
 
 import numpy as np
@@ -32,48 +44,134 @@ IMAGE_FEATURES_DDL = (
     "media_id long, width int, height int, n_bytes long, mean_luma double, feature array<float>"
 )
 
-AUDIO_FEATURES_DDL = "media_id long, n_samples long, duration_s double, rms double"
+AUDIO_FEATURES_DDL = (
+    "media_id long, n_samples long, sample_rate int, duration_s double, rms double"
+)
 
+
+# ---------------------------------------------------------------------------
+# real codecs (stdlib + numpy only)
+# ---------------------------------------------------------------------------
+
+def encode_pgm(px: np.ndarray) -> bytes:
+    """Binary netpbm P5 (8-bit grayscale)."""
+    h, w = px.shape
+    return b"P5\n%d %d\n255\n" % (w, h) + px.astype(np.uint8).tobytes()
+
+
+def encode_ppm(px: np.ndarray) -> bytes:
+    """Binary netpbm P6 (8-bit RGB, shape (h, w, 3))."""
+    h, w, _ = px.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + px.astype(np.uint8).tobytes()
+
+
+def decode_netpbm(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """P5/P6 → (width, height, luma uint8 matrix).  P6 luma = channel mean."""
+    magic = payload[:2]
+    if magic not in (b"P5", b"P6"):
+        raise ValueError(f"not a binary netpbm payload: {magic!r}")
+    # header = magic, width, height, maxval as whitespace/comment-separated
+    # tokens, then exactly one whitespace byte before the raster
+    tokens, pos = [], 2
+    while len(tokens) < 3:
+        while payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            while payload[pos : pos + 1] not in (b"\n", b""):
+                pos += 1
+            continue
+        start = pos
+        while not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"unsupported netpbm maxval {maxval}")
+    if magic == b"P5":
+        px = np.frombuffer(payload, dtype=np.uint8, count=w * h, offset=pos)
+        return w, h, px.reshape(h, w)
+    px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return w, h, px.reshape(h, w, 3).mean(axis=2).astype(np.uint8)
+
+
+def encode_wav(pcm: np.ndarray, sample_rate: int) -> bytes:
+    """float32 [-1, 1] mono → 16-bit PCM RIFF/WAV bytes."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes((np.clip(pcm, -1.0, 1.0) * 32767.0).astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAV 16-bit PCM → (float32 mono samples in [-1, 1], sample_rate)."""
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        n, sr, width, ch = (
+            wf.getnframes(), wf.getframerate(), wf.getsampwidth(), wf.getnchannels()
+        )
+        if width != 2:
+            raise ValueError(f"unsupported WAV sample width {width}")
+        raw = np.frombuffer(wf.readframes(n), dtype="<i2").astype(np.float32) / 32768.0
+    if ch > 1:
+        raw = raw.reshape(-1, ch).mean(axis=1)
+    return raw, sr
+
+
+# ---------------------------------------------------------------------------
+# stub fallback (codecs whose libraries this container lacks)
+# ---------------------------------------------------------------------------
 
 def _decode_image_stub(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """STUB: deterministic fake image decode (no imaging libs in container).
-
-    Real implementation: PIL.Image.open(io.BytesIO(payload)) → resize →
-    np.asarray.  The fake derives (w, h, pixels) from the payload bytes so
-    tests are deterministic and the downstream feature math is exercised.
-    """
-    if payload is None or len(payload) == 0:
-        raise ValueError("empty payload")
+    """STUB fallback for non-netpbm images (real path: PIL.Image.open).
+    Derives deterministic (w, h, pixels) from the payload bytes so the
+    downstream feature math stays exercised for opaque fixtures."""
     h64 = int.from_bytes(payload[:8].ljust(8, b"\0"), "little")
     w, h = 16 + h64 % 48, 16 + (h64 >> 8) % 48
     rng = np.random.default_rng(h64 % (2**32))
     return w, h, rng.integers(0, 256, size=(h, w), dtype=np.uint8)
 
 
-def _decode_audio_stub(payload: bytes) -> np.ndarray:
-    """STUB: deterministic fake PCM decode (real: soundfile/librosa.load)."""
-    if payload is None or len(payload) == 0:
-        raise ValueError("empty payload")
+def _decode_audio_stub(payload: bytes) -> tuple[np.ndarray, int]:
+    """STUB fallback for non-WAV audio (real path: soundfile/librosa)."""
     h64 = int.from_bytes(payload[:8].ljust(8, b"\0"), "little")
     rng = np.random.default_rng(h64 % (2**32))
     n = 1000 + h64 % 4000
-    return rng.standard_normal(n).astype(np.float32)
+    return rng.standard_normal(n).astype(np.float32), 16000
 
+
+def _decode_image(payload: bytes) -> tuple[int, int, np.ndarray]:
+    if payload is None or len(payload) == 0:
+        raise ValueError("empty payload")
+    if payload[:2] in (b"P5", b"P6"):
+        return decode_netpbm(payload)
+    return _decode_image_stub(payload)
+
+
+def _decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    if payload is None or len(payload) == 0:
+        raise ValueError("empty payload")
+    if payload[:4] == b"RIFF":
+        return decode_wav(payload)
+    return _decode_audio_stub(payload)
+
+
+# ---------------------------------------------------------------------------
+# feature extraction over mapInPandas (Arrow batches)
+# ---------------------------------------------------------------------------
 
 def extract_image_features(df: DataFrame, batch_size_hint: int = 256) -> DataFrame:
-    """Decode + feature-extract images via mapInPandas (Arrow batches).
-
-    The per-batch loop is over *media blobs*, which is unavoidable for an
-    opaque codec boundary (each blob is one decode call into a C library) —
-    the Python-side work per row is one function call, all math is numpy.
-    """
+    """Decode + feature-extract images via mapInPandas: dimensions, mean
+    luma, and an 8-bin normalized luma histogram as the feature vector."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
-                    w, h, px = _decode_image_stub(payload)
+                    w, h, px = _decode_image(payload)
                 except ValueError:
                     continue
                 hist = np.histogram(px, bins=8, range=(0, 256))[0].astype(np.float32)
@@ -88,19 +186,25 @@ def extract_image_features(df: DataFrame, batch_size_hint: int = 256) -> DataFra
     return df.select("media_id", "payload").mapInPandas(op, schema=IMAGE_FEATURES_DDL)
 
 
-def extract_audio_features(df: DataFrame, sample_rate: int = 16000) -> DataFrame:
+def extract_audio_features(df: DataFrame) -> DataFrame:
+    """Decode + feature-extract audio: sample count, container sample rate,
+    duration and RMS amplitude of the decoded waveform."""
+
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
-                    pcm = _decode_audio_stub(payload)
+                    pcm, sr = _decode_audio(payload)
                 except ValueError:
                     continue
                 rows.append(
-                    (int(mid), len(pcm), len(pcm) / sample_rate, float(np.sqrt((pcm**2).mean())))
+                    (int(mid), len(pcm), int(sr), len(pcm) / sr,
+                     float(np.sqrt((pcm**2).mean())) if len(pcm) else 0.0)
                 )
-            yield pd.DataFrame(rows, columns=["media_id", "n_samples", "duration_s", "rms"])
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_samples", "sample_rate", "duration_s", "rms"]
+            )
 
     return df.select("media_id", "payload").mapInPandas(op, schema=AUDIO_FEATURES_DDL)
 
@@ -108,9 +212,9 @@ def extract_audio_features(df: DataFrame, sample_rate: int = 16000) -> DataFrame
 def sample_video_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
     """Frame-sampling plumbing: video blob → one row per sampled frame index.
 
-    The decode is stubbed (frame count derived from payload size); the
-    explode/partitioning shape — one input row fanning out to many frame
-    rows, repartitioned downstream — is the real pipeline shape.
+    The decode is stubbed (frame count derived from payload size — no video
+    codec libs in this container); the explode/partitioning shape — one
+    input row fanning out to many frame rows — is the real pipeline shape.
     """
     n_frames = (F.length("payload") / 100 + 1).cast("int")
     return (
@@ -122,18 +226,41 @@ def sample_video_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# fixture: REAL encoded payloads, generated distributed
+# ---------------------------------------------------------------------------
+
+def _encode_media_row(mid: int) -> tuple[str, str, bytes]:
+    """Deterministic per-id media payload: real PGM raster for images, real
+    16-bit WAV sine for audio, opaque bytes for video."""
+    kind = ("image", "audio", "video")[mid % 3]
+    if kind == "image":
+        w, h = 16 + (mid * 7) % 48, 16 + (mid * 13) % 48
+        rng = np.random.default_rng(mid)
+        px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        return kind, "image/x-portable-graymap", encode_pgm(px)
+    if kind == "audio":
+        sr = 8000
+        n = 1000 + (mid * 37) % 4000
+        t = np.arange(n, dtype=np.float32) / sr
+        pcm = 0.5 * np.sin(2 * np.pi * (50.0 + mid) * t)
+        return kind, "audio/wav", encode_wav(pcm, sr)
+    rng = np.random.default_rng(mid + 7)
+    return kind, "application/octet-stream", rng.bytes(32 + mid % 64)
+
+
 def make_media_fixture(spark, n: int = 64, seed: int = 3) -> DataFrame:
-    """Deterministic opaque-binary media table for tests."""
-    kinds = F.element_at(
-        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-        F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(3)).cast("int") + 1,
-    )
-    return spark.range(n).select(
-        F.col("id").alias("media_id"),
-        kinds.alias("kind"),
-        F.lit("application/octet-stream").alias("mime"),
-        F.sha2(F.concat(F.lit(str(seed)), F.col("id").cast("string")), 256)
-        .cast("binary")
-        .alias("payload"),
-        F.create_map(F.lit("src"), F.lit("synthetic")).alias("meta"),
-    )
+    """Deterministic media table with genuinely-encoded payloads, built
+    distributed via mapInPandas over a range (no driver-side row list)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                kind, mime, payload = _encode_media_row(int(mid))
+                rows.append((int(mid), kind, mime, payload, {"src": "synthetic"}))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "mime", "payload", "meta"]
+            )
+
+    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)

@@ -1,6 +1,59 @@
-"""Multimodal plumbing: schema, mapInPandas batch shape, deterministic stubs."""
+"""Multimodal: real netpbm/WAV codecs (roundtrip-pinned), mapInPandas
+plumbing, stub fallback for formats whose libs the container lacks."""
+
+import numpy as np
 
 from go_data_publisher_spark.functions import multimodal as M
+
+
+def test_pgm_roundtrip():
+    px = np.arange(48, dtype=np.uint8).reshape(6, 8)
+    w, h, got = M.decode_netpbm(M.encode_pgm(px))
+    assert (w, h) == (8, 6)
+    assert np.array_equal(got, px)
+
+
+def test_ppm_luma():
+    rgb = np.zeros((2, 2, 3), dtype=np.uint8)
+    rgb[0, 0] = (30, 60, 90)  # luma = 60
+    w, h, luma = M.decode_netpbm(M.encode_ppm(rgb))
+    assert (w, h) == (2, 2)
+    assert luma[0, 0] == 60 and luma[1, 1] == 0
+
+
+def test_wav_roundtrip_and_rms():
+    sr = 8000
+    t = np.arange(4000, dtype=np.float32) / sr
+    pcm = 0.5 * np.sin(2 * np.pi * 100 * t)
+    got, got_sr = M.decode_wav(M.encode_wav(pcm, sr))
+    assert got_sr == sr and len(got) == len(pcm)
+    assert np.abs(got - pcm).max() < 1e-3  # 16-bit quantization bound
+    rms = float(np.sqrt((got**2).mean()))
+    assert abs(rms - 0.5 / np.sqrt(2)) < 1e-3
+
+
+def test_image_features_use_real_decode(spark):
+    media = M.make_media_fixture(spark, n=12)
+    feats = {r.media_id: r for r in M.extract_image_features(
+        media.where("kind = 'image'")).collect()}
+    # recompute one image independently from the fixture rule
+    mid = next(iter(feats))
+    w, h = 16 + (mid * 7) % 48, 16 + (mid * 13) % 48
+    px = np.random.default_rng(mid).integers(0, 256, size=(h, w), dtype=np.uint8)
+    r = feats[mid]
+    assert (r.width, r.height) == (w, h)
+    assert abs(r.mean_luma - float(px.mean())) < 1e-9
+
+
+def test_audio_features_use_real_decode(spark):
+    media = M.make_media_fixture(spark, n=12)
+    feats = M.extract_audio_features(media.where("kind = 'audio'")).collect()
+    assert feats
+    for r in feats:
+        assert r.sample_rate == 8000
+        assert abs(r.duration_s - r.n_samples / 8000) < 1e-9
+        # 0.5-amplitude sine → rms ≈ 0.3536 (partial last period wiggles it)
+        assert 0.30 < r.rms < 0.40
 
 
 def test_image_features(spark):
