@@ -614,12 +614,14 @@ SQL_EMB_TOPK = """
 # ---------------------------------------------------------------------------
 
 def q_minhash_pairs_docs(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    # the sf fixtures are one parquet split; spread the shingle/signature
+    # compute before the operator (a real corpus arrives in many splits)
+    docs = _t(spark, sf_dir, "documents").repartition(32)
     return TD.minhash_lsh_pairs(docs, n_hashes=16, n_bands=4, verify_threshold=0.4)
 
 
 def q_simhash_pairs_docs(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").repartition(32)
     return TD.simhash_near_duplicates(docs, max_hamming=6)
 
 
