@@ -80,3 +80,67 @@ def test_random_replay_converges(sticky_spark, tmp_path_factory, evs, n_batches,
         pd.testing.assert_series_equal(
             got[col], oracle[col], check_names=False, check_dtype=False, obj=col
         )
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(evs=events_strategy,
+       order=st.permutations([0, 1, 2]),
+       maint=st.lists(st.sampled_from(["compact", "vacuum", "replay", "none"]),
+                      min_size=3, max_size=3))
+def test_out_of_order_batches_with_maintenance(sticky_spark, tmp_path_factory,
+                                               evs, order, maint):
+    """The LSN-guarded merge is delivery-order independent: applying the
+    lsn-chunks in any order (distinct epochs), with compaction / vacuum /
+    epoch replays interleaved at random, converges to the same final state.
+    This is the crash-recovery reality of a CDC consumer — redelivery and
+    maintenance never race the result."""
+    spark = sticky_spark
+    rows = [
+        (i + 1, op, conv, turn, "user", text, None, None, 1)
+        for i, (op, conv, turn, text) in enumerate(evs)
+    ]
+    root = str(tmp_path_factory.mktemp("prop_ooo"))
+    tbl = TranscriptTable(spark, f"{root}/tbl", n_buckets=2)
+    app = ChangeApplier(tbl)
+    df = spark.createDataFrame(rows, EVENT_SCHEMA)
+
+    from pyspark.sql import functions as F
+
+    span = max(1, (len(rows) // 3) + 1)
+    bounds = [(b * span + 1, (b + 1) * span) for b in range(3)]
+    applied = []
+    for step, b in enumerate(order):
+        lo, hi = bounds[b]
+        app.apply_batch(df.where(F.col("lsn").between(lo, hi)), epoch_id=b)
+        applied.append((b, lo, hi))
+        act = maint[step]
+        if act == "compact":
+            tbl.compact()
+        elif act == "vacuum":
+            tbl.vacuum(keep_versions=2)
+        elif act == "replay" and applied:
+            rb, rlo, rhi = applied[0]
+            out = app.apply_batch(
+                df.where(F.col("lsn").between(rlo, rhi)), epoch_id=rb
+            )
+            assert out["status"] == "skipped_replay"
+
+    got = (
+        tbl.snapshot()
+        .select("conv_id", "turn_idx", "text", "lsn")
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+    )
+    oracle = pandas_final_state(
+        pd.DataFrame(rows, columns=["lsn", "op", "conv_id", "turn_idx", "role",
+                                    "text", "tool", "ts", "schema_version"])
+    )[["conv_id", "turn_idx", "text", "lsn"]].sort_values(
+        ["conv_id", "turn_idx"]
+    ).reset_index(drop=True)
+
+    assert len(got) == len(oracle)
+    for col in got.columns:
+        pd.testing.assert_series_equal(
+            got[col], oracle[col], check_names=False, check_dtype=False, obj=col
+        )
