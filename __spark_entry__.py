@@ -506,6 +506,41 @@ SQL_DOCS_QUOTA = """
 """
 
 
+def q_docs_curated(spark, sf_dir):
+    """End-to-end corpus curation pipeline: deterministic 50% sample →
+    quality floor (≥ 20 whitespace tokens) → per-lang mixture cap of 30
+    docs in portable-hash order.  Every stage is the engine operator, every
+    stage has an exact DuckDB twin, so the full composition is
+    hash-verified."""
+    from go_data_publisher_spark.operators.sampling import (
+        deterministic_sample,
+        quota_per_group,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sampled = deterministic_sample(docs, 0.5, "doc_id")
+    filtered = sampled.where(TX.whitespace_token_count(F.col("text")) >= 20)
+    return quota_per_group(filtered, ["lang"], quota=30, key_col="doc_id").select(
+        "doc_id", "lang", TX.whitespace_token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+
+
+SQL_DOCS_CURATED = """
+  SELECT doc_id, lang,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+  FROM (
+    SELECT doc_id, lang, text,
+           ROW_NUMBER() OVER (
+             PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR))
+           ) AS rn
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'
+      AND len(regexp_split_to_array(trim(text), '\\s+')) >= 20
+  )
+  WHERE rn <= 30
+"""
+
+
 def q_docs_fingerprint(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -788,6 +823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_token_stats": q_docs_token_stats,
         "docs_sample": q_docs_sample,
         "docs_quota": q_docs_quota,
+        "docs_curated": q_docs_curated,
         "docs_fingerprint": q_docs_fingerprint,
         "docs_transcode": q_docs_transcode,
         "batch_bounds": q_batch_bounds,
@@ -829,6 +865,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_token_stats": SQL_DOCS_TOKEN_STATS,
         "docs_sample": SQL_DOCS_SAMPLE,
         "docs_quota": SQL_DOCS_QUOTA,
+        "docs_curated": SQL_DOCS_CURATED,
         "docs_fingerprint": SQL_DOCS_FINGERPRINT,
         "docs_transcode": SQL_DOCS_TRANSCODE,
         "batch_bounds": SQL_BATCH_BOUNDS,

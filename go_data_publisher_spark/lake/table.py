@@ -255,10 +255,25 @@ class TranscriptTable:
 
     # ---------------- reads ----------------
 
+    def version_as_of(self, ts: float) -> int:
+        """Timestamp time travel: the newest committed version whose commit
+        time is <= ``ts`` (unix seconds) — Iceberg's snapshot-as-of-time
+        resolution over the retained manifest log."""
+        best = None
+        for h in self.history():
+            c = h.get("committed_at")
+            if c is not None and float(c) <= float(ts):
+                best = h["version"] if best is None else max(best, h["version"])
+        if best is None:
+            raise ValueError(f"no snapshot committed at or before {ts}")
+        return best
+
     def snapshot(self, buckets: list[int] | None = None,
-                 version: int | None = None) -> DataFrame:
+                 version: int | None = None,
+                 as_of: float | None = None) -> DataFrame:
         """Committed state (optionally pruned to a bucket subset), at the
-        current version or any past one (time travel).
+        current version, any past version, or the version live at unix
+        time ``as_of`` (time travel by version or by timestamp).
 
         Merge-on-read: base file groups and delta file groups are unioned and
         folded with one last-wins reduce on (order_col, commit_seq) — a
@@ -271,6 +286,10 @@ class TranscriptTable:
         version's current schema — the scan-time cast Iceberg does for old
         data files.
         """
+        if as_of is not None:
+            if version is not None:
+                raise ValueError("pass version or as_of, not both")
+            version = self.version_as_of(as_of)
         m = self.manifest(version)
         target = T.StructType.fromJson(
             json.loads(m["schemas"][str(m["current_schema_id"])])

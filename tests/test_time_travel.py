@@ -35,6 +35,20 @@ def test_snapshot_time_travel(spark, tmpdir_path):
     assert now == {("c1", 0): "v2", ("c2", 0): "other"}
     assert then == {("c1", 0): "v1"}
 
+    # timestamp time travel: the version live at v1's commit time shows v1
+    hist_by_v = {h["version"]: h for h in tbl.history()}
+    t1 = float(hist_by_v[v1]["committed_at"])
+    assert tbl.version_as_of(t1) == v1
+    as_of = {(r["conv_id"], r["turn_idx"]): r["text"]
+             for r in tbl.snapshot(as_of=t1).collect()}
+    assert as_of == then
+    assert tbl.version_as_of(float(hist_by_v[v2]["committed_at"]) + 1) == v2
+    import pytest
+    with pytest.raises(ValueError):
+        tbl.version_as_of(0.0)  # before the first commit
+    with pytest.raises(ValueError):
+        tbl.snapshot(version=v1, as_of=t1)
+
     hist = tbl.history()
     assert [h["version"] for h in hist] == sorted(h["version"] for h in hist)
     # bounded epoch state: both epochs folded into the high-watermark
