@@ -262,6 +262,31 @@ def q_range_join_chunked(spark, sf_dir):
 SQL_RANGE_JOIN_CHUNKED = SQL_RANGE_JOIN
 
 
+def q_asof_enrich(spark, sf_dir):
+    """Temporal enrichment: each event gets the latest signup event at or
+    before its timestamp for the same user (operators/joins.py:asof_join —
+    union-tag + one partitioned window, no range join; Spark lacks a native
+    ASOF JOIN, DuckDB's native ASOF LEFT JOIN is the oracle)."""
+    from go_data_publisher_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    dim = ev.where(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("event_id").alias("signup_event_id")
+    )
+    facts = ev.select("user_id", "ts", "event_id")
+    out = asof_join(facts, dim, ["user_id"], "ts", ["signup_event_id"])
+    return out.select("event_id", "user_id", "signup_event_id")
+
+
+SQL_ASOF_ENRICH = """
+  SELECT e.event_id, e.user_id, d.event_id AS signup_event_id
+  FROM events e
+  ASOF LEFT JOIN (
+    SELECT user_id, ts, event_id FROM events WHERE event_type = 'signup'
+  ) d ON e.user_id = d.user_id AND e.ts >= d.ts
+"""
+
+
 def q_windowed_counts(spark, sf_dir):
     """Event-time tumbling-window throughput counters
     (streaming/windows.py:windowed_event_counts, batch form — streaming form
@@ -812,6 +837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_detection": q_gap_detection,
         "range_join": q_range_join,
         "range_join_chunked": q_range_join_chunked,
+        "asof_enrich": q_asof_enrich,
         "windowed_counts": q_windowed_counts,
         "monotonicity": q_monotonicity,
         "interval_trim": q_interval_trim,
@@ -854,6 +880,7 @@ def oracle_sql() -> dict[str, str]:
         "gap_detection": SQL_GAP_DETECTION,
         "range_join": SQL_RANGE_JOIN,
         "range_join_chunked": SQL_RANGE_JOIN_CHUNKED,
+        "asof_enrich": SQL_ASOF_ENRICH,
         "windowed_counts": SQL_WINDOWED_COUNTS,
         "monotonicity": SQL_MONOTONICITY,
         "interval_trim": SQL_INTERVAL_TRIM,

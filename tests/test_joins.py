@@ -33,3 +33,45 @@ def test_broadcast_dim_join_plan(spark):
     out = broadcast_dim_join(log, dim, "conv_id")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Broadcast" in plan
+
+
+def test_asof_join_matches_naive(spark):
+    from go_data_publisher_spark.operators.joins import asof_join
+    from pyspark.sql import functions as F
+
+    dim = spark.createDataFrame(
+        [("u1", 10, "a"), ("u1", 20, "b"), ("u2", 15, "c")],
+        "k string, ts long, attr string",
+    )
+    facts = spark.createDataFrame(
+        [("u1", 5, 100), ("u1", 10, 101), ("u1", 19, 102), ("u1", 25, 103),
+         ("u2", 14, 104), ("u2", 15, 105), ("u3", 50, 106)],
+        "k string, ts long, fact_id int",
+    )
+    got = {r.fact_id: r.attr
+           for r in asof_join(facts, dim, "k", "ts", ["attr"]).collect()}
+    # backward inclusive: fact at dim ts sees that dim
+    assert got == {100: None, 101: "a", 102: "a", 103: "b",
+                   104: None, 105: "c", 106: None}
+
+    strict = {r.fact_id: r.attr
+              for r in asof_join(facts, dim, "k", "ts", ["attr"],
+                                 strict=True).collect()}
+    # strict: fact at exactly dim ts does NOT see it
+    assert strict == {100: None, 101: None, 102: "a", 103: "b",
+                      104: None, 105: None, 106: None}
+
+
+def test_asof_join_struct_consistency(spark):
+    """All dim attributes must come from the SAME as-of row, even when some
+    attributes are null in later rows."""
+    from go_data_publisher_spark.operators.joins import asof_join
+
+    dim = spark.createDataFrame(
+        [("u", 1, "x1", "y1"), ("u", 2, None, "y2")],
+        "k string, ts long, a string, b string",
+    )
+    facts = spark.createDataFrame([("u", 3, 1)], "k string, ts long, fid int")
+    r = asof_join(facts, dim, "k", "ts", ["a", "b"]).collect()[0]
+    # the as-of row is ts=2 → (None, y2); a per-column fill would leak x1
+    assert (r.a, r.b) == (None, "y2")
