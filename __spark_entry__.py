@@ -262,6 +262,30 @@ def q_range_join_chunked(spark, sf_dir):
 SQL_RANGE_JOIN_CHUNKED = SQL_RANGE_JOIN
 
 
+def q_scd2_history(spark, sf_dir):
+    """SCD type-2 materialization of the change stream: every key version
+    with its [valid_from, valid_to) LSN window; deletes close intervals
+    without emitting rows (operators/scd.py:scd2_history — one partitioned
+    window, scales with key cardinality)."""
+    from go_data_publisher_spark.operators.scd import scd2_history
+
+    ch = _as_changelog(_t(spark, sf_dir, "events"))
+    return scd2_history(ch, key=("conv_id", "turn_idx"),
+                        order_col="lsn", attr_cols=("text",))
+
+
+SQL_SCD2_HISTORY = f"""
+  WITH ch AS ({_CHANGELOG_SQL}),
+  v AS (
+    SELECT conv_id, turn_idx, text, op, lsn,
+           lead(lsn) OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn) AS nxt
+    FROM ch
+  )
+  SELECT conv_id, turn_idx, text, lsn AS valid_from, nxt AS valid_to
+  FROM v WHERE op <> 'D'
+"""
+
+
 def q_asof_enrich(spark, sf_dir):
     """Temporal enrichment: each event gets the latest signup event at or
     before its timestamp for the same user (operators/joins.py:asof_join —
@@ -838,6 +862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "range_join_chunked": q_range_join_chunked,
         "asof_enrich": q_asof_enrich,
+        "scd2_history": q_scd2_history,
         "windowed_counts": q_windowed_counts,
         "monotonicity": q_monotonicity,
         "interval_trim": q_interval_trim,
@@ -881,6 +906,7 @@ def oracle_sql() -> dict[str, str]:
         "range_join": SQL_RANGE_JOIN,
         "range_join_chunked": SQL_RANGE_JOIN_CHUNKED,
         "asof_enrich": SQL_ASOF_ENRICH,
+        "scd2_history": SQL_SCD2_HISTORY,
         "windowed_counts": SQL_WINDOWED_COUNTS,
         "monotonicity": SQL_MONOTONICITY,
         "interval_trim": SQL_INTERVAL_TRIM,

@@ -270,10 +270,15 @@ class TranscriptTable:
 
     def snapshot(self, buckets: list[int] | None = None,
                  version: int | None = None,
-                 as_of: float | None = None) -> DataFrame:
+                 as_of: float | None = None,
+                 keep_tombstones: bool = False) -> DataFrame:
         """Committed state (optionally pruned to a bucket subset), at the
         current version, any past version, or the version live at unix
         time ``as_of`` (time travel by version or by timestamp).
+        ``keep_tombstones=True`` returns the fold *winners* including delete
+        tombstones with an ``op`` column — what compaction rewrites, so late
+        out-of-order changes below a tombstone's order value still lose
+        after the deltas are folded away.
 
         Merge-on-read: base file groups and delta file groups are unioned and
         folded with one last-wins reduce on (order_col, commit_seq) — a
@@ -299,8 +304,11 @@ class TranscriptTable:
         if buckets is not None:
             bset = set(buckets)
             files = [f for f in files if f["bucket"] in bset]
+        empty_schema = target if not keep_tombstones else T.StructType(
+            target.fields + [T.StructField("op", T.StringType(), True)]
+        )
         if not files:
-            return self.spark.createDataFrame([], target)
+            return self.spark.createDataFrame([], empty_schema)
         has_delta = any(f.get("kind", "base") == "delta" for f in files)
         # Every data file carries (op, __seq) as data columns, so files group
         # by SCHEMA ID only — the union stays O(live schemas) wide no matter
@@ -316,16 +324,16 @@ class TranscriptTable:
                     if f.name in df.columns]
             cols += [F.lit(None).cast(f.dataType).alias(f.name) for f in target.fields
                      if f.name not in df.columns]
+            cols.append(
+                (F.col("op") if "op" in df.columns else F.lit("U")).alias("op")
+            )
             if has_delta:
-                cols.append(
-                    (F.col("op") if "op" in df.columns else F.lit("U")).alias("op")
-                )
                 cols.append(
                     (F.col("__seq") if "__seq" in df.columns else F.lit(0).cast("long"))
                     .alias("__seq")
                 )
             parts.append(df.select(*cols).select(
-                out_cols + (["op", "__seq"] if has_delta else [])
+                out_cols + ["op"] + (["__seq"] if has_delta else [])
             ))
         out = parts[0]
         for p in parts[1:]:
@@ -333,9 +341,14 @@ class TranscriptTable:
         if has_delta:
             from ..operators.dedup import last_wins
 
-            won = last_wins(out, key=self.key, order=(self.order_col, "__seq"))
-            out = won.where(F.col("op") != "D").select(*out_cols)
-        return out
+            out = last_wins(out, key=self.key, order=(self.order_col, "__seq"))
+            out = out.drop("__seq")
+        # base files retain delete tombstones as op='D' rows (so a compacted
+        # table still beats late, lower-order changes); the reader filters
+        # them here, at the very end of the fold
+        if keep_tombstones:
+            return out.select(*out_cols, "op")
+        return out.where(F.col("op") != "D").select(*out_cols)
 
     def is_epoch_committed(self, epoch_id: int) -> bool:
         m = self.manifest()
@@ -573,21 +586,34 @@ class TranscriptTable:
         return {"removed_files": removed_files, "removed_manifests": removed_manifests,
                 "kept_versions": sorted(keep)}
 
-    def compact(self, buckets: list[int] | None = None) -> None:
+    def compact(self, buckets: list[int] | None = None,
+                drop_tombstones_below: int | None = None) -> None:
         """Fold base + deltas back to one base file group per bucket at the
         current schema (Iceberg's rewrite_data_files).  ``buckets`` restricts
         the rewrite to a subset — incremental compaction keyed off per-bucket
         delta counts is how a 100 TB table keeps read amplification bounded
-        without ever rewriting the whole table at once."""
+        without ever rewriting the whole table at once.
+
+        Delete tombstones are RETAINED in the base files (op='D' winners):
+        dropping them would resurrect a deleted key if a lower-order change
+        arrives late (out-of-order redelivery behind a compaction — the
+        Cassandra gc_grace problem).  ``drop_tombstones_below`` expires
+        tombstones whose order value is below a caller-supplied low
+        watermark — safe once the source can no longer replay below it."""
         m = self.manifest()
         seq = m["version"] + 1
         target_buckets = set(range(self.n_buckets)) if buckets is None else set(buckets)
+        winners = self.snapshot(buckets=sorted(target_buckets), keep_tombstones=True)
+        if drop_tombstones_below is not None:
+            winners = winners.where(
+                (F.col("op") != "D")
+                | (F.col(self.order_col) >= int(drop_tombstones_below))
+            )
         df = (
-            self.snapshot(buckets=sorted(target_buckets))
+            winners
             .withColumn("__bucket", bucket_expr(self.key[0], self.n_buckets))
             # base rows carry (op, __seq) as data columns too, so all live
             # files share one read schema per schema id (see snapshot())
-            .withColumn("op", F.lit("U"))
             .withColumn("__seq", F.lit(seq).cast("long"))
         )
         commit_id = uuid.uuid4().hex[:12]
@@ -608,6 +634,62 @@ class TranscriptTable:
         kept = [f for f in m["files"] if f["bucket"] not in target_buckets]
         self._write_manifest(m["version"] + 1,
                              {**m, "version": m["version"] + 1, "files": kept + new_files})
+
+    def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Incremental read / change data feed: the raw change rows (upserts
+        AND delete tombstones, with ``op`` and the committing version) of
+        every commit in ``(from_version, to_version]`` — the lake-side
+        changefeed a downstream CDC consumer tails instead of re-reading
+        snapshots.  Zero-cost to serve: merge-on-read already persists each
+        commit as delta files keyed by ``seq``, so this is a pruned scan of
+        exactly the window's files — no diffing of snapshots.
+
+        Retention bound (Iceberg/Delta CDF semantics): compaction folds
+        deltas into base files, so a window that reaches behind the newest
+        compaction of a touched bucket is gone — that raises ValueError
+        rather than silently under-reporting changes.
+        """
+        m = self.manifest(to_version)
+        to_v = int(m["version"])
+        if from_version > to_v:
+            raise ValueError(f"from_version {from_version} > to_version {to_v}")
+        in_window = [f for f in m["files"]
+                     if from_version < int(f.get("seq", 0)) <= to_v]
+        compacted = [f for f in in_window if f.get("kind", "base") != "delta"]
+        if compacted:
+            raise ValueError(
+                f"change window ({from_version}, {to_v}] includes versions "
+                f"compacted into base files (e.g. seq {compacted[0]['seq']}); "
+                f"changes are retained only until compaction"
+            )
+        target = T.StructType.fromJson(
+            json.loads(m["schemas"][str(m["current_schema_id"])])
+        )
+        out_schema = T.StructType(
+            target.fields
+            + [T.StructField("op", T.StringType(), True),
+               T.StructField("commit_version", T.LongType(), True)]
+        )
+        if not in_window:
+            return self.spark.createDataFrame([], out_schema)
+        groups: dict[int, list[str]] = {}
+        for f in in_window:
+            groups.setdefault(int(f["schema_id"]), []).append(f["path"])
+        parts = []
+        for sid, paths in groups.items():
+            df = self.spark.read.parquet(*paths)
+            cols = [
+                (F.col(f.name).cast(f.dataType) if f.name in df.columns
+                 else F.lit(None).cast(f.dataType)).alias(f.name)
+                for f in target.fields
+            ]
+            cols.append(F.col("op"))
+            cols.append(F.col("__seq").alias("commit_version"))
+            parts.append(df.select(*cols))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def delta_file_counts(self) -> dict[int, int]:
         """Per-bucket live delta-file counts — the compaction trigger signal."""

@@ -76,3 +76,28 @@ def test_inline_compaction_policy(spark, tmpdir_path):
     pd.testing.assert_series_equal(
         snap["text"].reset_index(drop=True), oracle["text"].reset_index(drop=True),
         check_names=False, obj="text")
+
+
+def test_compaction_retains_tombstones_against_late_changes(spark, tmpdir_path):
+    """A delete folded away by compaction must still beat a lower-LSN change
+    that arrives afterwards (out-of-order redelivery behind a compaction) —
+    tombstones persist in base files until explicitly expired."""
+    from go_data_publisher_spark.lake.table import TranscriptTable
+    from go_data_publisher_spark.streaming.apply import ChangeApplier
+
+    SCHEMA = ("lsn long, op string, conv_id string, turn_idx int, role string, "
+              "text string, tool string, ts timestamp, schema_version int")
+    tbl = TranscriptTable(spark, f"{tmpdir_path}/tbl", n_buckets=2)
+    app = ChangeApplier(tbl)
+    app.apply_batch(spark.createDataFrame(
+        [(5, "D", "c1", 0, "user", None, None, None, 1),
+         (6, "I", "c2", 0, "user", "keep", None, None, 1)], SCHEMA), epoch_id=1)
+    tbl.compact()
+    app.apply_batch(spark.createDataFrame(
+        [(1, "I", "c1", 0, "user", "stale", None, None, 1)], SCHEMA), epoch_id=0)
+    assert [(r.conv_id, r.text) for r in tbl.snapshot().collect()] == [("c2", "keep")]
+
+    # expiry below a replay low-watermark drops the tombstone for good
+    tbl.compact(drop_tombstones_below=10)
+    winners = tbl.snapshot(keep_tombstones=True).collect()
+    assert [(r.conv_id, r.op) for r in winners] == [("c2", "I")]
