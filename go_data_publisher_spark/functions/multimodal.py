@@ -72,17 +72,19 @@ def decode_netpbm(payload: bytes) -> tuple[int, int, np.ndarray]:
         raise ValueError(f"not a binary netpbm payload: {magic!r}")
     # header = magic, width, height, maxval as whitespace/comment-separated
     # tokens, then exactly one whitespace byte before the raster
-    tokens, pos = [], 2
+    tokens, pos, end = [], 2, len(payload)
     while len(tokens) < 3:
-        while payload[pos : pos + 1].isspace():
+        while pos < end and payload[pos : pos + 1].isspace():
             pos += 1
         if payload[pos : pos + 1] == b"#":  # comment to end of line
-            while payload[pos : pos + 1] not in (b"\n", b""):
+            while pos < end and payload[pos : pos + 1] != b"\n":
                 pos += 1
             continue
         start = pos
-        while not payload[pos : pos + 1].isspace():
+        while pos < end and not payload[pos : pos + 1].isspace():
             pos += 1
+        if pos == start or pos >= end:
+            raise ValueError("truncated netpbm header")
         tokens.append(int(payload[start:pos]))
     pos += 1  # the single whitespace after maxval
     w, h, maxval = tokens
@@ -114,6 +116,8 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         )
         if width != 2:
             raise ValueError(f"unsupported WAV sample width {width}")
+        if sr <= 0 or ch <= 0:
+            raise ValueError(f"malformed WAV header (rate={sr}, channels={ch})")
         raw = np.frombuffer(wf.readframes(n), dtype="<i2").astype(np.float32) / 32768.0
     if ch > 1:
         raw = raw.reshape(-1, ch).mean(axis=1)
@@ -158,6 +162,13 @@ def _decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
     return _decode_audio_stub(payload)
 
 
+# malformed-media errors that mean "skip this row", not "kill the job":
+# wave raises wave.Error/EOFError on non-WAV RIFF containers (AVI, WebP and
+# corrupt WAVs all start with b"RIFF"), numpy raises ValueError on truncated
+# rasters
+_DECODE_ERRORS = (ValueError, EOFError, wave.Error)
+
+
 # ---------------------------------------------------------------------------
 # feature extraction over mapInPandas (Arrow batches)
 # ---------------------------------------------------------------------------
@@ -172,7 +183,7 @@ def extract_image_features(df: DataFrame, batch_size_hint: int = 256) -> DataFra
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
                     w, h, px = _decode_image(payload)
-                except ValueError:
+                except _DECODE_ERRORS:
                     continue
                 hist = np.histogram(px, bins=8, range=(0, 256))[0].astype(np.float32)
                 rows.append(
@@ -196,7 +207,7 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
                     pcm, sr = _decode_audio(payload)
-                except ValueError:
+                except _DECODE_ERRORS:
                     continue
                 rows.append(
                     (int(mid), len(pcm), int(sr), len(pcm) / sr,
@@ -230,34 +241,35 @@ def sample_video_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
 # fixture: REAL encoded payloads, generated distributed
 # ---------------------------------------------------------------------------
 
-def _encode_media_row(mid: int) -> tuple[str, str, bytes]:
-    """Deterministic per-id media payload: real PGM raster for images, real
-    16-bit WAV sine for audio, opaque bytes for video."""
+def _encode_media_row(mid: int, seed: int = 3) -> tuple[str, str, bytes]:
+    """Deterministic per-(seed, id) media payload: real PGM raster for
+    images, real 16-bit WAV sine for audio, opaque bytes for video."""
     kind = ("image", "audio", "video")[mid % 3]
     if kind == "image":
         w, h = 16 + (mid * 7) % 48, 16 + (mid * 13) % 48
-        rng = np.random.default_rng(mid)
+        rng = np.random.default_rng([seed, mid])
         px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
         return kind, "image/x-portable-graymap", encode_pgm(px)
     if kind == "audio":
         sr = 8000
-        n = 1000 + (mid * 37) % 4000
+        n = 1000 + (mid * 37 + seed * 101) % 4000
         t = np.arange(n, dtype=np.float32) / sr
-        pcm = 0.5 * np.sin(2 * np.pi * (50.0 + mid) * t)
+        pcm = 0.5 * np.sin(2 * np.pi * (50.0 + mid + seed) * t)
         return kind, "audio/wav", encode_wav(pcm, sr)
-    rng = np.random.default_rng(mid + 7)
+    rng = np.random.default_rng([seed, mid + 7])
     return kind, "application/octet-stream", rng.bytes(32 + mid % 64)
 
 
 def make_media_fixture(spark, n: int = 64, seed: int = 3) -> DataFrame:
     """Deterministic media table with genuinely-encoded payloads, built
-    distributed via mapInPandas over a range (no driver-side row list)."""
+    distributed via mapInPandas over a range (no driver-side row list);
+    different seeds give decorrelated payloads over the same ids."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid in pdf["id"]:
-                kind, mime, payload = _encode_media_row(int(mid))
+                kind, mime, payload = _encode_media_row(int(mid), seed)
                 rows.append((int(mid), kind, mime, payload, {"src": "synthetic"}))
             yield pd.DataFrame(
                 rows, columns=["media_id", "kind", "mime", "payload", "meta"]

@@ -148,6 +148,7 @@ class TranscriptTable:
                     "n_buckets": n_buckets,
                     "key": self.key,
                     "order_col": order_col,
+                    "committed_at": time.time(),
                 },
             )
 
@@ -250,7 +251,8 @@ class TranscriptTable:
         new_id = int(m["current_schema_id"]) + 1
         m["schemas"][str(new_id)] = T.StructType(out).json()
         m["current_schema_id"] = new_id
-        self._write_manifest(m["version"] + 1, {**m, "version": m["version"] + 1})
+        self._write_manifest(m["version"] + 1, {**m, "version": m["version"] + 1,
+                                                "committed_at": time.time()})
         return True
 
     # ---------------- reads ----------------
@@ -620,8 +622,18 @@ class TranscriptTable:
         out_dir = f"{self.root}/data/commit={commit_id}"
         df.repartition(self.n_buckets, "__bucket").write.mode("overwrite") \
           .partitionBy("__bucket").parquet(out_dir)
-        seq = m["version"] + 1
         sid = int(m["current_schema_id"])
+        # per-bucket fold high watermark: the newest change version this base
+        # absorbs — changes() uses it to raise ONLY when a requested window
+        # genuinely lost deltas to this compaction, not whenever the
+        # compaction commit itself lands inside the window
+        folded_hwm = {b: 0 for b in target_buckets}
+        for f in m["files"]:
+            if f["bucket"] in target_buckets:
+                folded_hwm[f["bucket"]] = max(
+                    folded_hwm[f["bucket"]],
+                    int(f.get("folded_hwm", f.get("seq", 0))),
+                )
         new_files = []
         for entry in sorted(os.listdir(out_dir)):
             if not entry.startswith("__bucket="):
@@ -630,10 +642,13 @@ class TranscriptTable:
             for name in sorted(os.listdir(f"{out_dir}/{entry}")):
                 if name.endswith(".parquet"):
                     new_files.append({"path": f"{out_dir}/{entry}/{name}", "bucket": b,
-                                      "schema_id": sid, "kind": "base", "seq": seq})
+                                      "schema_id": sid, "kind": "base", "seq": seq,
+                                      "folded_hwm": folded_hwm.get(b, 0)})
         kept = [f for f in m["files"] if f["bucket"] not in target_buckets]
         self._write_manifest(m["version"] + 1,
-                             {**m, "version": m["version"] + 1, "files": kept + new_files})
+                             {**m, "version": m["version"] + 1,
+                              "files": kept + new_files,
+                              "committed_at": time.time()})
 
     def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Incremental read / change data feed: the raw change rows (upserts
@@ -655,13 +670,20 @@ class TranscriptTable:
             raise ValueError(f"from_version {from_version} > to_version {to_v}")
         in_window = [f for f in m["files"]
                      if from_version < int(f.get("seq", 0)) <= to_v]
-        compacted = [f for f in in_window if f.get("kind", "base") != "delta"]
-        if compacted:
+        # a base (compaction) file inside the window is data loss ONLY if it
+        # folded deltas the window still needs (folded_hwm > from_version);
+        # a fully-caught-up consumer whose from_version is the last
+        # pre-compaction version sees no loss and reads an empty/clean feed
+        lost = [f for f in in_window
+                if f.get("kind", "base") != "delta"
+                and int(f.get("folded_hwm", int(f.get("seq", 1)) - 1)) > from_version]
+        if lost:
             raise ValueError(
-                f"change window ({from_version}, {to_v}] includes versions "
-                f"compacted into base files (e.g. seq {compacted[0]['seq']}); "
-                f"changes are retained only until compaction"
+                f"change window ({from_version}, {to_v}] lost versions up to "
+                f"{lost[0].get('folded_hwm')} to compaction (base seq "
+                f"{lost[0]['seq']}); changes are retained only until compaction"
             )
+        in_window = [f for f in in_window if f.get("kind", "base") == "delta"]
         target = T.StructType.fromJson(
             json.loads(m["schemas"][str(m["current_schema_id"])])
         )

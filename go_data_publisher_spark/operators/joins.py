@@ -81,6 +81,12 @@ def asof_join(
     dim_cols = [dim_cols] if isinstance(dim_cols, str) else list(dim_cols)
     fact_cols = facts.columns
 
+    # SQL join semantics: a NULL key never matches — but partitionBy groups
+    # nulls together, so null-keyed dim rows must not enter the window (a
+    # null-keyed fact then sits in a dim-less partition and gets nulls)
+    for kc in key_cols:
+        dim = dim.where(F.col(kc).isNotNull())
+
     d = dim.select(
         *key_cols,
         F.col(ts_col),

@@ -123,10 +123,11 @@ def _shingle_hashes(text_col: str, k: int = 3):
     return F.array_distinct(
         F.transform(
             idx,
-            # element_at is 1-based; trailing out-of-range elements (docs
-            # shorter than k words) are null and xxhash64 skips nulls
+            # try_element_at is 1-based and yields null past the end (docs
+            # shorter than k words) — plain element_at THROWS under Spark 4's
+            # default ANSI mode; xxhash64 skips the nulls
             lambda i: F.xxhash64(
-                *[F.element_at(wh, (i + j + 1).cast("int")) for j in range(k)]
+                *[F.try_element_at(wh, (i + j + 1).cast("int")) for j in range(k)]
             ),
         )
     )

@@ -80,3 +80,19 @@ def test_scd2_history(spark):
     ]
     cur = scd2_current(scd2_history(log)).collect()
     assert [(r.conv_id, r.text) for r in cur] == [("c2", "x")]
+
+
+def test_change_feed_caught_up_consumer_survives_compaction(spark, tmpdir_path):
+    """A consumer checkpointed at the last pre-compaction version lost
+    nothing to the compaction — the feed must be empty, not a retention
+    error (folded_hwm vs the blunt seq-in-window check)."""
+    tbl = TranscriptTable(spark, f"{tmpdir_path}/tbl", n_buckets=2)
+    app = ChangeApplier(tbl)
+    _apply(spark, app, [(1, "I", "c1", 0, "user", "v1", None, None, 1)], 0)
+    _apply(spark, app, [(2, "U", "c1", 0, "user", "v2", None, None, 1)], 1)
+    v2 = tbl.manifest()["version"]
+    tbl.compact()
+    assert tbl.changes(v2).count() == 0  # caught up: clean empty feed
+    # timestamp travel resolves the compaction manifest (committed_at stamped)
+    import time as _t
+    assert tbl.version_as_of(_t.time()) == tbl.manifest()["version"]

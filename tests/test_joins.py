@@ -75,3 +75,16 @@ def test_asof_join_struct_consistency(spark):
     r = asof_join(facts, dim, "k", "ts", ["a", "b"]).collect()[0]
     # the as-of row is ts=2 → (None, y2); a per-column fill would leak x1
     assert (r.a, r.b) == (None, "y2")
+
+
+def test_asof_join_null_keys_never_match(spark):
+    """SQL semantics: NULL keys never equal — a null-keyed fact must not be
+    enriched by a null-keyed dim row (partitionBy groups nulls together)."""
+    from go_data_publisher_spark.operators.joins import asof_join
+
+    dim = spark.createDataFrame([("u1", 10, "a"), (None, 5, "x")],
+                                "k string, ts long, attr string")
+    facts = spark.createDataFrame([(None, 20, 1), ("u1", 20, 2)],
+                                  "k string, ts long, fid int")
+    got = {r.fid: r.attr for r in asof_join(facts, dim, "k", "ts", ["attr"]).collect()}
+    assert got == {1: None, 2: "a"}

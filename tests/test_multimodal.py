@@ -36,10 +36,10 @@ def test_image_features_use_real_decode(spark):
     media = M.make_media_fixture(spark, n=12)
     feats = {r.media_id: r for r in M.extract_image_features(
         media.where("kind = 'image'")).collect()}
-    # recompute one image independently from the fixture rule
+    # recompute one image independently from the fixture rule (seed=3 default)
     mid = next(iter(feats))
     w, h = 16 + (mid * 7) % 48, 16 + (mid * 13) % 48
-    px = np.random.default_rng(mid).integers(0, 256, size=(h, w), dtype=np.uint8)
+    px = np.random.default_rng([3, mid]).integers(0, 256, size=(h, w), dtype=np.uint8)
     r = feats[mid]
     assert (r.width, r.height) == (w, h)
     assert abs(r.mean_luma - float(px.mean())) < 1e-9
@@ -85,3 +85,28 @@ def test_video_frame_sampling(spark):
     frames = M.sample_video_frames(media, every_n=10)
     got = frames.groupBy("media_id").count().collect()
     assert got and all(r["count"] >= 1 for r in got)
+
+
+def test_truncated_netpbm_raises_not_hangs():
+    import pytest
+    for bad in (b"P5\n10 10\n255", b"P5\n10", b"P6\n#comment", b"P5\n"):
+        with pytest.raises(ValueError):
+            M.decode_netpbm(bad)
+
+
+def test_riff_non_wav_rows_are_skipped(spark):
+    """An AVI/WebP/corrupt-RIFF payload raises wave.Error/EOFError, not
+    ValueError — the extractor must skip the row, not kill the job."""
+    rows = [(1, b"RIFF\x00\x00\x00\x00AVI LIST"), (2, b"RIFF"),
+            (3, M.encode_wav(np.zeros(100, dtype=np.float32) + 0.1, 8000))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = M.extract_audio_features(df).collect()
+    assert [r.media_id for r in got] == [3]
+
+
+def test_fixture_seed_decorrelates(spark):
+    a = {r.media_id: bytes(r.payload)
+         for r in M.make_media_fixture(spark, n=9, seed=1).collect()}
+    b = {r.media_id: bytes(r.payload)
+         for r in M.make_media_fixture(spark, n=9, seed=2).collect()}
+    assert all(a[k] != b[k] for k in a)

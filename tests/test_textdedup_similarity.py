@@ -160,3 +160,22 @@ def test_embedding_near_dup_caps_degenerate_buckets(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     got = D.embedding_near_duplicates(df, threshold=0.99, max_bucket_size=50)
     assert got.count() == 0
+
+
+def test_minhash_short_docs_do_not_crash(spark):
+    """Docs shorter than k words must yield a (partial-window) signature,
+    not an ANSI-mode array-index error (try_element_at regression guard)."""
+    from go_data_publisher_spark.operators.textdedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "one"), (2, "two words"), (3, "three word doc"),
+         (4, "one"), (5, "")],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(docs)
+    assert sigs.count() == 5
+    pairs = minhash_lsh_pairs(docs, verify_threshold=0.9).collect()
+    assert any((p.id_a, p.id_b) == (1, 4) for p in pairs)  # identical 1-worders
