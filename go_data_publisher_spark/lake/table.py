@@ -151,6 +151,15 @@ class TranscriptTable:
                     "committed_at": time.time(),
                 },
             )
+        else:
+            # Reopening an existing table: the manifest is the authority for
+            # the physical layout — constructor args (often defaults from a
+            # different CLI invocation) must not silently re-bucket new
+            # writes under a different modulus or re-key the fold.
+            m = self.manifest()
+            self.n_buckets = int(m.get("n_buckets", n_buckets))
+            self.key = list(m.get("key", self.key))
+            self.order_col = str(m.get("order_col", order_col))
 
     # ---------------- manifest plumbing ----------------
 
@@ -352,15 +361,28 @@ class TranscriptTable:
             return out.select(*out_cols, "op")
         return out.where(F.col("op") != "D").select(*out_cols)
 
-    def is_epoch_committed(self, epoch_id: int) -> bool:
-        m = self.manifest()
-        e = int(epoch_id)
-        return e <= int(m["epoch_hwm"]) or e in set(m["epochs_recent"])
+    @staticmethod
+    def _writer_state(m: dict, writer_id: str) -> tuple[int, set]:
+        """(hwm, recent) for one writer.  The legacy top-level fields ARE the
+        'default' writer's state; named writers live under ``writers`` — the
+        Delta/Iceberg txnAppId pattern, so a fresh checkpoint (new writer id)
+        or a second pipeline never has its epochs mistaken for replays of
+        another writer's."""
+        if writer_id == "default":
+            return int(m["epoch_hwm"]), set(m["epochs_recent"])
+        w = m.get("writers", {}).get(writer_id)
+        if w is None:
+            return -1, set()
+        return int(w["epoch_hwm"]), set(w["epochs_recent"])
 
-    def epoch_state(self) -> dict:
-        m = self.manifest()
-        return {"epoch_hwm": int(m["epoch_hwm"]),
-                "epochs_recent": sorted(m["epochs_recent"])}
+    def is_epoch_committed(self, epoch_id: int, writer_id: str = "default") -> bool:
+        hwm, recent = self._writer_state(self.manifest(), writer_id)
+        e = int(epoch_id)
+        return e <= hwm or e in recent
+
+    def epoch_state(self, writer_id: str = "default") -> dict:
+        hwm, recent = self._writer_state(self.manifest(), writer_id)
+        return {"epoch_hwm": hwm, "epochs_recent": sorted(recent)}
 
     def cursor_lsn(self) -> int:
         return int(self.manifest()["cursor_lsn"])
@@ -374,6 +396,7 @@ class TranscriptTable:
         batch_max_lsn: int | None = None,
         order_col: str | None = None,
         deduped: bool = False,
+        writer_id: str = "default",
     ) -> dict:
         """Idempotent, LSN-guarded MERGE of one change batch.
 
@@ -409,7 +432,8 @@ class TranscriptTable:
         advances to the batch's max order value.
         """
         m = self.manifest()
-        if int(epoch_id) <= int(m["epoch_hwm"]) or int(epoch_id) in set(m["epochs_recent"]):
+        hwm0, recent0 = self._writer_state(m, writer_id)
+        if int(epoch_id) <= hwm0 or int(epoch_id) in recent0:
             return {"status": "skipped_replay", "epoch_id": epoch_id}
         if order_col is not None and order_col != self.order_col:
             raise ValueError(
@@ -438,8 +462,16 @@ class TranscriptTable:
             self._check_overlap(changes)
 
         seq = m["version"] + 1
+        # fail fast on null merge keys, inside the write job (zero extra
+        # jobs): a null key would land in a __HIVE_DEFAULT_PARTITION__ dir
+        # the manifest can't bucket, after the write already ran
+        null_guard = F.when(
+            F.col(self.key[0]).isNull(),
+            F.raise_error(F.lit(f"merge: null {self.key[0]} key — route or "
+                                "quarantine invalid rows before merging")),
+        ).otherwise(bucket_expr(self.key[0], self.n_buckets))
         changes = (
-            changes.withColumn("__bucket", bucket_expr(self.key[0], self.n_buckets))
+            changes.withColumn("__bucket", null_guard.cast("int"))
             .withColumn("__del", (F.col("op") == "D").cast("int"))
             .withColumn("__seq", F.lit(seq).cast("long"))
         )
@@ -500,7 +532,8 @@ class TranscriptTable:
             tos = [r["lsn_to"] for r in per_bucket if r["lsn_to"] is not None]
             batch_max_lsn = max(tos) if tos else None
 
-        self._commit(m, files=m["files"] + new_files, epoch_id=epoch_id,
+        self._commit(m, writer_id=writer_id,
+                     files=m["files"] + new_files, epoch_id=epoch_id,
                      batch_max_lsn=batch_max_lsn)
         return {
             "status": "committed",
@@ -535,34 +568,61 @@ class TranscriptTable:
                 f"with different lower bound"
             )
 
-    def _commit(self, m: dict, files, epoch_id, batch_max_lsn) -> None:
+    # epoch ids are expected contiguous per writer (foreachBatch guarantees
+    # it); a permanent gap would grow the recent set with every commit, so
+    # fail loud long before the manifest bloats
+    _MAX_EPOCHS_RECENT = 100_000
+
+    def _commit(self, m: dict, files, epoch_id, batch_max_lsn,
+                writer_id: str = "default") -> None:
         v = m["version"] + 1
         cursor = max(int(m["cursor_lsn"]), int(batch_max_lsn)) if batch_max_lsn is not None \
             else int(m["cursor_lsn"])
-        # bounded epoch state: fold the new epoch into hwm + recent set
-        hwm = int(m["epoch_hwm"])
-        recent = set(m["epochs_recent"]) | {int(epoch_id)}
+        # bounded epoch state: fold the new epoch into the writer's
+        # hwm + recent set
+        hwm, recent = self._writer_state(m, writer_id)
+        recent = recent | {int(epoch_id)}
         while hwm + 1 in recent:
             hwm += 1
             recent.discard(hwm)
-        self._write_manifest(v, {
+        if len(recent) > self._MAX_EPOCHS_RECENT:
+            raise RuntimeError(
+                f"writer {writer_id!r} has {len(recent)} committed epochs "
+                f"above its high watermark {hwm} — the epoch id space has a "
+                f"permanent gap; epoch ids must be contiguous per writer"
+            )
+        update = {
             **m,
             "version": v,
             "files": files,
-            "epoch_hwm": hwm,
-            "epochs_recent": sorted(recent),
             "cursor_lsn": cursor,
             "committed_at": time.time(),
-        })
+        }
+        if writer_id == "default":
+            update["epoch_hwm"] = hwm
+            update["epochs_recent"] = sorted(recent)
+        else:
+            writers = dict(m.get("writers", {}))
+            writers[writer_id] = {"epoch_hwm": hwm, "epochs_recent": sorted(recent)}
+            update["writers"] = writers
+        self._write_manifest(v, update)
 
     # ---------------- maintenance ----------------
 
-    def vacuum(self, keep_versions: int = 2) -> dict:
+    def vacuum(self, keep_versions: int = 2,
+               orphan_grace_seconds: float = 3600.0) -> dict:
         """Garbage-collect: delete data files not referenced by the newest
         ``keep_versions`` manifests, and drop older manifests (bounding time
         travel).  Crash-safe: files are unlinked only after the surviving
         manifest set is known; a reader of a retained version never loses a
-        file.  (Iceberg's expire_snapshots + remove_orphan_files.)"""
+        file.  (Iceberg's expire_snapshots + remove_orphan_files.)
+
+        ``orphan_grace_seconds``: an unreferenced file younger than this is
+        left alone — it may belong to an IN-FLIGHT merge that has written
+        its delta dir but not yet published the manifest (Delta's
+        deletedFileRetentionDuration rationale).  Pass 0 only when no writer
+        can be running concurrently."""
+        now = time.time()
         cur = self._current_version()
         versions = sorted(
             int(n.split("-")[1].split(".")[0])
@@ -578,6 +638,11 @@ class TranscriptTable:
             for name in files:
                 p = f"{dirpath}/{name}"
                 if name.endswith(".parquet") and p not in live:
+                    try:
+                        if now - os.path.getmtime(p) < orphan_grace_seconds:
+                            continue  # possibly an in-flight commit's file
+                    except OSError:
+                        continue
                     os.unlink(p)
                     removed_files += 1
         removed_manifests = 0

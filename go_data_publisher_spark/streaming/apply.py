@@ -76,7 +76,9 @@ class RetryPolicy:
         while True:
             try:
                 return fn()
-            except BaseException as exc:  # noqa: BLE001 — classified below
+            # Exception, NOT BaseException: KeyboardInterrupt/SystemExit must
+            # propagate immediately, never sleep-and-retry a Ctrl-C
+            except Exception as exc:  # noqa: BLE001 — classified below
                 attempt += 1
                 if attempt >= self.max_attempts or not self.is_retriable(exc):
                     raise
@@ -102,6 +104,7 @@ class ChangeApplier:
         on_invalid: str = "quarantine",
         retry: RetryPolicy | None = None,
         compact_delta_files: int | None = None,
+        writer_id: str = "default",
     ):
         """``route_sql`` + ``ephemeral_table``: F3 routing — winners matching
         the predicate are merged into a second target instead of the main
@@ -118,6 +121,11 @@ class ChangeApplier:
         ``retry``: RetryPolicy wrapped around every sink write (merge +
         quarantine).  Defaults to 5 attempts of exponential backoff with
         jitter; pass RetryPolicy(max_attempts=1) to disable.
+
+        ``writer_id``: scopes the epoch replay guard (Delta txnAppId
+        pattern) — give each logical pipeline / checkpoint lineage its own
+        id so a fresh checkpoint's epochs restarting at 0 are never mistaken
+        for replays of another writer's epochs.
 
         ``compact_delta_files``: merge-on-read maintenance policy — after a
         commit, any bucket whose live delta-file count reaches this
@@ -138,15 +146,21 @@ class ChangeApplier:
         self.on_invalid = on_invalid
         self.retry = retry or RetryPolicy()
         self.compact_delta_files = compact_delta_files
+        self.writer_id = writer_id
         if (route_sql is None) != (ephemeral_table is None):
             raise ValueError("route_sql and ephemeral_table must be set together")
 
     # -- called by foreachBatch and by the batch driver ----------------------
 
     def apply_batch(self, batch: DataFrame, epoch_id: int) -> dict:
-        if self.table.is_epoch_committed(epoch_id):
-            # replayed microbatch after crash-before-checkpoint: no-op
-            return {"status": "skipped_replay", "epoch_id": epoch_id}
+        if self.table.is_epoch_committed(epoch_id, writer_id=self.writer_id):
+            # replayed microbatch after crash-before-checkpoint: the merge is
+            # a no-op, but a crash BETWEEN the manifest commit and the
+            # quarantine append would otherwise lose the skipped-key rows
+            # forever — the redelivered batch heals that window (idempotent
+            # via a per-epoch marker file)
+            healed = self._heal_quarantine(batch, epoch_id)
+            return {"status": "skipped_replay", "epoch_id": epoch_id, **healed}
 
         from pyspark.sql import Observation
 
@@ -179,8 +193,13 @@ class ChangeApplier:
                     f"batch {epoch_id} contains invalid rows and on_invalid='error'"
                 )
 
-        # schema evolution BEFORE apply: v2 events may add columns/widen
-        self.table.evolve_schema(valid.drop("op", "schema_version").schema)
+        # schema evolution BEFORE apply: v2 events may add columns/widen.
+        # BOTH targets evolve — the ephemeral table would otherwise silently
+        # drop new columns (merge projects onto its own target schema)
+        batch_schema = valid.drop("op", "schema_version").schema
+        self.table.evolve_schema(batch_schema)
+        if self.ephemeral_table is not None:
+            self.ephemeral_table.evolve_schema(batch_schema)
         target_schema = self.table.schema
 
         dedup = last_wins_salted(valid, n_salts=self.n_salts) if self.salted \
@@ -204,12 +223,12 @@ class ChangeApplier:
                 ~F.coalesce(F.expr(self.route_sql), F.lit(False))
             )
             self.retry.run(lambda: self.ephemeral_table.merge(
-                eph, epoch_id=epoch_id, deduped=True))
+                eph, epoch_id=epoch_id, deduped=True, writer_id=self.writer_id))
             stats = self.retry.run(lambda: self.table.merge(
-                perm, epoch_id=epoch_id, deduped=True))
+                perm, epoch_id=epoch_id, deduped=True, writer_id=self.writer_id))
         else:
             stats = self.retry.run(lambda: self.table.merge(
-                changes, epoch_id=epoch_id, deduped=True))
+                changes, epoch_id=epoch_id, deduped=True, writer_id=self.writer_id))
         per_bucket = stats.pop("per_bucket", [])
 
         try:
@@ -223,11 +242,13 @@ class ChangeApplier:
                 F.max(F.when(vp, F.col("lsn"))).alias("mx"),
             ).first()
         n_quarantined = int(stats_row["nq"] or 0)
-        if n_quarantined and self.quarantine_dir:
-            self.retry.run(
-                lambda: quarantined.withColumn("__epoch_id", F.lit(int(epoch_id)))
-                .write.mode("append").parquet(self.quarantine_dir)
-            )
+        if self.quarantine_dir:
+            if n_quarantined:
+                self.retry.run(
+                    lambda: quarantined.withColumn("__epoch_id", F.lit(int(epoch_id)))
+                    .write.mode("append").parquet(self.quarantine_dir)
+                )
+            self._mark_quarantined(epoch_id)
 
         if stats["status"] == "committed":
             self._write_lineage(epoch_id, per_bucket, n_quarantined)
@@ -241,6 +262,36 @@ class ChangeApplier:
                     stats["compacted_buckets"] = hot
         stats["rows_quarantined"] = n_quarantined
         return stats
+
+    def _quarantine_marker(self, epoch_id: int) -> str:
+        return f"{self.quarantine_dir}/_epoch-{int(epoch_id):012d}.done"
+
+    def _mark_quarantined(self, epoch_id: int) -> None:
+        import os
+
+        os.makedirs(self.quarantine_dir, exist_ok=True)
+        with open(self._quarantine_marker(epoch_id), "w") as f:
+            f.write("done")
+
+    def _heal_quarantine(self, batch: DataFrame, epoch_id: int) -> dict:
+        """Replay path: if this committed epoch's quarantine marker is
+        missing (crash between manifest commit and quarantine append),
+        recompute the invalid rows from the redelivered batch and persist
+        them now.  Costs one filter job, only on that rare crash window."""
+        import os
+
+        if not self.quarantine_dir or os.path.exists(self._quarantine_marker(epoch_id)):
+            return {}
+        vp = validity_predicate()
+        bad = batch.where(~F.coalesce(vp, F.lit(False)))
+        n = bad.count()
+        if n:
+            self.retry.run(
+                lambda: bad.withColumn("__epoch_id", F.lit(int(epoch_id)))
+                .write.mode("append").parquet(self.quarantine_dir)
+            )
+        self._mark_quarantined(epoch_id)
+        return {"healed_quarantine_rows": n}
 
     def _write_lineage(self, epoch_id, per_bucket_rows, n_q):
         """Per-partition lineage manifest rows (FIXTURES.md §3), appended
@@ -284,6 +335,9 @@ class ChangeApplier:
         q = self.table.spark.read.parquet(self.quarantine_dir)
         return (
             q.select("conv_id", "turn_idx", "lsn", "op", "__epoch_id")
+            # distinct: the at-least-once heal path may re-append an epoch's
+            # rows if the marker write itself was lost
+            .distinct()
             .orderBy("conv_id", "turn_idx", "lsn")
         )
 

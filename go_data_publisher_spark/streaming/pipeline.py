@@ -76,9 +76,18 @@ def run_stream(
     )
 
     listener = None
+    progress_lines_at_start = 0
     if metrics_path:
         from .metrics import MicrobatchMetricsListener
 
+        # the metrics file is append-only across runs: offset the drain-wait
+        # by the rows previous runs already wrote, or a resumed run removes
+        # the listener before its OWN progress rows land
+        try:
+            with open(metrics_path) as f:
+                progress_lines_at_start = sum(1 for line in f if '"progress"' in line)
+        except FileNotFoundError:
+            pass
         listener = MicrobatchMetricsListener(metrics_path)
         spark.streams.addListener(listener)
 
@@ -124,7 +133,7 @@ def run_stream(
                 try:
                     with open(listener.out_path) as f:
                         n = sum(1 for line in f if '"progress"' in line)
-                    if n >= state["applied"]:
+                    if n >= progress_lines_at_start + state["applied"]:
                         break
                 except FileNotFoundError:
                     pass

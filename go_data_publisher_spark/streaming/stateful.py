@@ -32,11 +32,17 @@ def _update(
         max_lsn, n_events, n_regr = state.get
     else:
         max_lsn, n_events, n_regr = -1, 0, 0
+    # fold ALL arrow chunks first: one microbatch may arrive as several
+    # unordered pandas chunks, and comparing each chunk against the running
+    # max would count intra-batch chunk ordering as redelivery
+    batch_max, batch_n = -1, 0
     for pdf in pdfs:
         if len(pdf) == 0:
             continue
-        batch_max = int(pdf["lsn"].max())
-        n_events += int(len(pdf))
+        batch_max = max(batch_max, int(pdf["lsn"].max()))
+        batch_n += int(len(pdf))
+    if batch_n:
+        n_events += batch_n
         if batch_max <= max_lsn:
             n_regr += 1
         max_lsn = max(max_lsn, batch_max)

@@ -32,7 +32,7 @@ def test_compact_and_vacuum(spark, tmpdir_path):
     tbl.compact()
     assert sorted(tbl.snapshot().collect()) == before_rows
 
-    stats = tbl.vacuum(keep_versions=1)
+    stats = tbl.vacuum(keep_versions=1, orphan_grace_seconds=0)
     assert stats["removed_files"] > 0 and stats["removed_manifests"] > 0
     # current snapshot unaffected; all remaining files referenced
     assert sorted(tbl.snapshot().collect()) == before_rows

@@ -118,7 +118,7 @@ def test_out_of_order_batches_with_maintenance(sticky_spark, tmp_path_factory,
         if act == "compact":
             tbl.compact()
         elif act == "vacuum":
-            tbl.vacuum(keep_versions=2)
+            tbl.vacuum(keep_versions=2, orphan_grace_seconds=0)
         elif act == "replay" and applied:
             rb, rlo, rhi = applied[0]
             out = app.apply_batch(
