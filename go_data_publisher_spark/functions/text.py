@@ -40,32 +40,36 @@ def normalize_text(text: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
 
 
-def quality_features(text: Column) -> list[Column]:
-    """Length / punctuation / stopword-ratio features (quality scoring)."""
+def _quality_terms(text: Column) -> dict[str, Column]:
+    """The one definition of the quality feature expressions — shared by
+    `quality_features` and `quality_score` so the scored features can never
+    drift from the reported ones."""
     n_chars = F.length(text)
     n_tokens = whitespace_token_count(text)
     n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), 0))
     n_stop = F.size(
         F.regexp_extract_all(F.lower(text), F.lit(r"\b(the|a|and|of|to|in|is|it|that|for)\b"), 0)
     )
-    return [
-        n_chars.alias("n_chars"),
-        n_tokens.alias("n_tokens"),
-        (n_chars / F.greatest(n_tokens, F.lit(1))).alias("avg_token_len"),
-        (n_punct / F.greatest(n_chars, F.lit(1))).alias("punct_ratio"),
-        (n_stop / F.greatest(n_tokens, F.lit(1))).alias("stopword_ratio"),
-    ]
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "avg_token_len": n_chars / F.greatest(n_tokens, F.lit(1)),
+        "punct_ratio": n_punct / F.greatest(n_chars, F.lit(1)),
+        "stopword_ratio": n_stop / F.greatest(n_tokens, F.lit(1)),
+    }
+
+
+def quality_features(text: Column) -> list[Column]:
+    """Length / punctuation / stopword-ratio features (quality scoring)."""
+    return [v.alias(k) for k, v in _quality_terms(text).items()]
 
 
 def quality_score(text: Column) -> Column:
     """Composite [0,1] quality heuristic from the features above."""
-    n_chars = F.length(text)
-    n_tokens = whitespace_token_count(text)
-    avg_len = n_chars / F.greatest(n_tokens, F.lit(1))
-    punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), 0)) / F.greatest(n_chars, F.lit(1))
-    length_ok = F.when((n_chars >= 20) & (n_chars <= 20000), 1.0).otherwise(0.3)
-    shape_ok = F.when((avg_len >= 3) & (avg_len <= 12), 1.0).otherwise(0.5)
-    punct_ok = F.when(punct <= 0.2, 1.0).otherwise(0.4)
+    t = _quality_terms(text)
+    length_ok = F.when((t["n_chars"] >= 20) & (t["n_chars"] <= 20000), 1.0).otherwise(0.3)
+    shape_ok = F.when((t["avg_token_len"] >= 3) & (t["avg_token_len"] <= 12), 1.0).otherwise(0.5)
+    punct_ok = F.when(t["punct_ratio"] <= 0.2, 1.0).otherwise(0.4)
     return ((length_ok + shape_ok + punct_ok) / 3.0).alias("quality")
 
 

@@ -88,9 +88,16 @@ def content_hash_changed(batch: DataFrame, target: DataFrame, key, hash_cols) ->
     checksum column + left-anti join on (key, checksum).
     """
     def with_sum(df):
-        return df.withColumn(
-            "__checksum", F.sha2(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in hash_cols]), 256)
-        )
+        # concat_ws silently SKIPS nulls, so (x, NULL) and (NULL, x) would
+        # collide and a real content change would be classified "unchanged".
+        # Encode each column null-distinguishably: NULL -> "\x00", value ->
+        # "\x01" + value (the prefix keeps a literal "\x00" value distinct).
+        encoded = [
+            F.when(F.col(c).isNull(), F.lit("\x00"))
+            .otherwise(F.concat(F.lit("\x01"), F.col(c).cast("string")))
+            for c in hash_cols
+        ]
+        return df.withColumn("__checksum", F.sha2(F.concat_ws("\x1f", *encoded), 256))
 
     b, t = with_sum(batch), with_sum(target.select(*key, *hash_cols))
     return b.join(t.select(*key, "__checksum"), on=[*key, "__checksum"], how="left_anti") \

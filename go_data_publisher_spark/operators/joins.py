@@ -36,9 +36,14 @@ def salted_join(
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left (small side must be replicable)")
     # any uniform salt assignment is valid (the join result is independent of
-    # which salt a row gets); a cheap id-based spread avoids hashing payloads
+    # which salt a row gets), but it must be DETERMINISTIC under recomputation:
+    # a stage retry that re-runs map tasks must assign the same salt to the
+    # same row, or reducers consuming mixed old/new map output see rows zero
+    # or two times.  Hash the full row content (identical rows colliding on
+    # one salt is fine — the join result doesn't depend on salt placement).
     salted_big = big.withColumn(
-        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int")
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts)).cast("int"),
     )
     replicated_small = small.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
@@ -83,9 +88,13 @@ def asof_join(
 
     # SQL join semantics: a NULL key never matches — but partitionBy groups
     # nulls together, so null-keyed dim rows must not enter the window (a
-    # null-keyed fact then sits in a dim-less partition and gets nulls)
+    # null-keyed fact then sits in a dim-less partition and gets nulls).
+    # Likewise a NULL dim timestamp can never satisfy dim.ts <= fact.ts, yet
+    # ASC ordering puts nulls FIRST, where last(ignorenulls) would carry the
+    # row into every early fact — drop those too.
     for kc in key_cols:
         dim = dim.where(F.col(kc).isNotNull())
+    dim = dim.where(F.col(ts_col).isNotNull())
 
     d = dim.select(
         *key_cols,

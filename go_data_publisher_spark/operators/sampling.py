@@ -7,8 +7,10 @@ tool.  Both operators key off a content hash of a stable id instead:
 
 - `deterministic_sample`: keep a row iff the hex md5 of its id falls below
   the fraction threshold.  Pure map-side filter — no shuffle, pushes through
-  any plan, and composes with itself (a 10% sample of a 50% sample is the
-  5% sample, since the threshold test is on the same hash).
+  any plan.  Same-salt samples NEST rather than multiply: the thresholds
+  compose as min(), so a 10% sample of a 50% sample is exactly the 10%
+  sample (a strict subset of the 50% — useful for consistent down-scaling).
+  For independent samples that compose multiplicatively, use distinct salts.
 - `quota_per_group`: at most N rows per group (per lang/source mixture
   caps), picked in hash order so the winners are stable.  One partitioned
   window — shuffle on the group key only; skewed groups cost one task, which
@@ -42,7 +44,12 @@ def deterministic_sample(df: DataFrame, fraction: float, key_col: str,
     """
     if not 0.0 <= fraction <= 1.0:
         raise ValueError("fraction must be in [0, 1]")
-    threshold = format(int(fraction * (1 << 32)), "08x")
+    threshold_int = int(fraction * (1 << 32))
+    if threshold_int >= (1 << 32):
+        # fraction == 1.0 would render a 9-char threshold ("100000000") that
+        # breaks the 8-char lexicographic comparison — keep-everything is free
+        return df
+    threshold = format(threshold_int, "08x")
     return df.where(F.substring(_hash_hex(key_col, salt), 1, 8) < F.lit(threshold))
 
 

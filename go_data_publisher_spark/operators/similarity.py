@@ -38,7 +38,12 @@ def norm_expr(a: Column) -> Column:
 
 
 def cosine_expr(a: Column, b: Column) -> Column:
-    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+    # a zero-norm vector (missing/failed embedding) would make this 0/0 = NaN,
+    # and Spark orders NaN ABOVE every real number — it would occupy a top-k
+    # slot for every query and pass `>= threshold` near-dup filters.  Yield
+    # NULL instead: nulls sort last under desc and fail threshold comparisons.
+    denom = norm_expr(a) * norm_expr(b)
+    return F.when(denom != F.lit(0.0), dot_expr(a, b) / denom)
 
 
 def cosine_to_query(vec: Column, query: Sequence[float]) -> Column:
@@ -88,13 +93,17 @@ def brute_force_topk_pandas(df: DataFrame, query, k=10, id_col="vec_id",
 # LSH / IVF
 # ---------------------------------------------------------------------------
 
-def _plane_component(plane: int, dim: int, seed: int) -> Column:
-    """Deterministic pseudo-random hyperplane component in [-1, 1)."""
-    h = F.xxhash64(F.lit(seed), F.lit(plane), F.lit(dim))
+def _plane_component(seed: int, plane: int, dim_idx) -> Column:
+    """Deterministic pseudo-random hyperplane component in [-1, 1) for
+    (plane, dim index) — the ONE place the plane derivation lives, so corpus
+    and query buckets can never drift apart.  ``dim_idx`` may be a Column
+    (inside a higher-order function) or a Python int."""
+    idx = dim_idx if isinstance(dim_idx, Column) else F.lit(dim_idx)
+    h = F.xxhash64(F.lit(seed), F.lit(plane), idx)
     return (F.pmod(h, F.lit(2_000_000)).cast("double") / 1_000_000.0) - 1.0
 
 
-def rhp_bucket(vec: Column, n_planes: int, seed: int = 7, dim: int | None = None) -> Column:
+def rhp_bucket(vec: Column, n_planes: int, seed: int = 7) -> Column:
     """Random-hyperplane LSH bucket id: sign-bit pattern of <vec, plane_i>.
 
     Planes are derived from xxhash64(seed, plane, dim_index) so every
@@ -103,15 +112,7 @@ def rhp_bucket(vec: Column, n_planes: int, seed: int = 7, dim: int | None = None
     # dot product with plane i, expressed positionally over the array
     def dot_plane(i: int) -> Column:
         idx = F.sequence(F.lit(0), F.size(vec) - 1)
-        terms = F.zip_with(
-            vec,
-            idx,
-            lambda x, j: x
-            * (
-                (F.pmod(F.xxhash64(F.lit(seed), F.lit(i), j), F.lit(2_000_000)).cast("double")
-                 / 1_000_000.0) - 1.0
-            ),
-        )
+        terms = F.zip_with(vec, idx, lambda x, j: x * _plane_component(seed, i, j))
         return F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
 
     bucket = F.lit(0).cast("long")
@@ -161,11 +162,13 @@ def _query_bucket(spark, query: Sequence[float], n_planes: int, seed: int) -> in
     return q.select(rhp_bucket(F.col("vec"), n_planes, seed).alias("b")).first()["b"]
 
 
-def ann_topk_lsh(df: DataFrame, query: Sequence[float], k: int = 10, n_planes: int = 8,
-                 seed: int = 7, id_col: str = "vec_id", vec_col: str = "embedding",
-                 multiprobe_hamming: int = 1) -> DataFrame:
-    spark = df.sparkSession
-    qb = _query_bucket(spark, query, n_planes, seed)
+def _probe_buckets(qb: int, n_planes: int, multiprobe_hamming: int) -> list[int]:
+    """Multiprobe expansion shared by the LSH and IVF paths: the query bucket
+    plus every bucket within ``multiprobe_hamming`` bit-flips.  Raises on
+    radii this helper doesn't expand — silently degrading recall between two
+    'equivalent' index paths is worse than an error."""
+    if not 0 <= multiprobe_hamming <= 2:
+        raise ValueError("multiprobe_hamming must be 0, 1, or 2")
     probes = [qb]
     if multiprobe_hamming >= 1:
         probes += [qb ^ (1 << i) for i in range(n_planes)]
@@ -175,6 +178,15 @@ def ann_topk_lsh(df: DataFrame, query: Sequence[float], k: int = 10, n_planes: i
             for i in range(n_planes)
             for j in range(i + 1, n_planes)
         ]
+    return probes
+
+
+def ann_topk_lsh(df: DataFrame, query: Sequence[float], k: int = 10, n_planes: int = 8,
+                 seed: int = 7, id_col: str = "vec_id", vec_col: str = "embedding",
+                 multiprobe_hamming: int = 1) -> DataFrame:
+    spark = df.sparkSession
+    qb = _query_bucket(spark, query, n_planes, seed)
+    probes = _probe_buckets(qb, n_planes, multiprobe_hamming)
     bucketed = df.withColumn("__bucket", rhp_bucket(F.col(vec_col), n_planes, seed))
     cand = bucketed.where(F.col("__bucket").isin(probes))
     return brute_force_topk(cand, query, k=k, id_col=id_col, vec_col=vec_col)
@@ -198,8 +210,6 @@ def ann_topk_ivf(spark, index_path: str, query: Sequence[float], k: int = 10,
                  n_planes: int = 8, seed: int = 7, id_col: str = "vec_id",
                  vec_col: str = "embedding", multiprobe_hamming: int = 1) -> DataFrame:
     qb = _query_bucket(spark, query, n_planes, seed)
-    probes = [qb]
-    if multiprobe_hamming >= 1:
-        probes += [qb ^ (1 << i) for i in range(n_planes)]
+    probes = _probe_buckets(qb, n_planes, multiprobe_hamming)
     df = spark.read.parquet(index_path).where(F.col("bucket").isin(probes))
     return brute_force_topk(df, query, k=k, id_col=id_col, vec_col=vec_col)

@@ -164,6 +164,12 @@ def minhash_lsh_pairs(df: DataFrame, id_col="doc_id", text_col="text", k: int = 
     candidates (shuffle on band-bucket keys only) → optional exact-Jaccard
     verification of the candidates.
     """
+    if n_bands <= 0 or n_bands > n_hashes:
+        raise ValueError(f"n_bands must be in [1, n_hashes]; got {n_bands=} {n_hashes=}")
+    if n_hashes % n_bands:
+        # a remainder would silently discard trailing hash functions and
+        # change the advertised (b, r) recall curve
+        raise ValueError(f"n_hashes must divide evenly into bands; got {n_hashes=} {n_bands=}")
     rows_per_band = n_hashes // n_bands
     sigs = minhash_signatures(df, id_col, text_col, k, n_hashes)
     bands = sigs.select(

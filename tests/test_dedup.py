@@ -67,3 +67,15 @@ def test_drop_already_present(spark):
     target = spark.createDataFrame([(1, "a")], "k int, sig string")
     out = drop_already_present(batch, target, on=["k", "sig"])
     assert [r["k"] for r in out.collect()] == [2]
+
+
+def test_content_hash_null_positions_distinct(spark):
+    # concat_ws skips nulls, so (NULL,'x') and ('x',NULL) used to collide and
+    # a real content change was classified "unchanged" and dropped
+    batch = spark.createDataFrame([(1, None, "x")], "k int, v string, w string")
+    target = spark.createDataFrame([(1, "x", None)], "k int, v string, w string")
+    out = content_hash_changed(batch, target, key=["k"], hash_cols=["v", "w"])
+    assert out.count() == 1
+    # and nulls still match themselves (idempotent re-delivery stays a no-op)
+    same = content_hash_changed(batch, batch, key=["k"], hash_cols=["v", "w"])
+    assert same.count() == 0

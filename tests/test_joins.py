@@ -88,3 +88,16 @@ def test_asof_join_null_keys_never_match(spark):
                                   "k string, ts long, fid int")
     got = {r.fid: r.attr for r in asof_join(facts, dim, "k", "ts", ["attr"]).collect()}
     assert got == {1: None, 2: "a"}
+
+
+def test_asof_join_ignores_null_ts_dim_rows(spark):
+    # a dim row with NULL ts can never satisfy dim.ts <= fact.ts; it used to
+    # sort NULLS FIRST and become the as-of match for every early fact
+    from go_data_publisher_spark.operators.joins import asof_join
+
+    facts = spark.createDataFrame([("k", 5, 1)], "k string, ts long, fid int")
+    dim = spark.createDataFrame(
+        [("k", None, "bad"), ("k", 10, "late")], "k string, ts long, attr string"
+    )
+    got = asof_join(facts, dim, "k", "ts", ["attr"]).collect()
+    assert len(got) == 1 and got[0].attr is None

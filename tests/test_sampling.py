@@ -68,3 +68,11 @@ def test_quota_smaller_groups_untouched(spark):
     df = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], "id long, grp string")
     out = quota_per_group(df, "grp", quota=10, key_col="id")
     assert out.count() == 3
+
+
+def test_sample_fraction_edges(spark):
+    # fraction=1.0 used to render a 9-char threshold ("100000000") that broke
+    # the 8-char lexicographic comparison and kept only ~6% of rows
+    df = spark.range(500)
+    assert deterministic_sample(df, 1.0, "id").count() == 500
+    assert deterministic_sample(df, 0.0, "id").count() == 0

@@ -179,3 +179,39 @@ def test_minhash_short_docs_do_not_crash(spark):
     assert sigs.count() == 5
     pairs = minhash_lsh_pairs(docs, verify_threshold=0.9).collect()
     assert any((p.id_a, p.id_b) == (1, 4) for p in pairs)  # identical 1-worders
+
+
+def test_zero_vector_never_ranks(spark):
+    # 0/0 cosine used to be NaN, which Spark orders ABOVE every real number —
+    # a garbage vector occupied a top-k slot and passed >= thresholds
+    rows = [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [0.9, 0.1])]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    got = S.brute_force_topk(df, [1.0, 0.0], k=2).collect()
+    assert [r.vec_id for r in got] == [2, 3]
+    pairs = D.embedding_near_duplicates(
+        spark.createDataFrame(
+            [(1, [0.0, 0.0]), (2, [0.0, 0.0])], "vec_id int, embedding array<double>"
+        ),
+        threshold=0.5,
+    ).collect()
+    assert pairs == []
+
+
+def test_minhash_band_config_validated(spark, corpus):
+    with pytest.raises(ValueError):
+        D.minhash_lsh_pairs(corpus, n_hashes=16, n_bands=32)
+    with pytest.raises(ValueError):
+        D.minhash_lsh_pairs(corpus, n_hashes=16, n_bands=5)
+
+
+def test_ivf_multiprobe_parity_with_lsh(spark, vectors, tmpdir_path):
+    # the IVF path used to silently ignore multiprobe_hamming >= 2
+    S.write_ivf_index(vectors, f"{tmpdir_path}/ivf2", n_planes=4)
+    q = vectors.where("vec_id = 0").first()["embedding"]
+    ivf = S.ann_topk_ivf(
+        spark, f"{tmpdir_path}/ivf2", q, k=5, n_planes=4, multiprobe_hamming=2
+    ).collect()
+    lsh = S.ann_topk_lsh(vectors, q, k=5, n_planes=4, multiprobe_hamming=2).collect()
+    assert [r.vec_id for r in ivf] == [r.vec_id for r in lsh]
+    with pytest.raises(ValueError):
+        S.ann_topk_lsh(vectors, q, k=5, n_planes=4, multiprobe_hamming=3)
