@@ -91,6 +91,16 @@ class OverlapConflictError(ValueError):
     intervals_processor.go:124-137, overlap probe elastic/client.go:55-95)."""
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed the manifest version this commit targeted —
+    the optimistic-concurrency loser (Iceberg's CommitFailedException).  The
+    losing attempt's data files are unreferenced orphans (vacuum collects
+    them); callers re-run the whole merge/compact against the fresh manifest.
+    Deliberately a RuntimeError so the applier's RetryPolicy classifies it
+    retriable: merge() re-reads the manifest per attempt, so a retried merge
+    self-heals.  NOT a subclass of ValueError — a lost race is transient."""
+
+
 # Value-preserving promotions only (Iceberg schema-evolution rules): the int
 # family widens upward to long, float widens to double.  Lossy "widenings"
 # (long→float/double would corrupt values above 2^53/2^24) are rejected.
@@ -200,9 +210,51 @@ class TranscriptTable:
                 )
         return out
 
+    # an unpointed manifest file younger than this is presumed to belong to a
+    # LIVE writer between its manifest write and CURRENT swap; older, it's a
+    # crash leftover whose version slot can be reclaimed (same rationale as
+    # vacuum's orphan grace)
+    _COMMIT_CONFLICT_GRACE_SECONDS = 60.0
+
     def _write_manifest(self, version: int, manifest: dict) -> None:
-        """Write manifest file, then atomically swing the CURRENT pointer."""
-        with open(self._manifest_path(version), "w") as f:
+        """Write manifest file, then atomically swing the CURRENT pointer.
+
+        The manifest file is created EXCLUSIVELY (O_EXCL): the filename is
+        the commit lock, so two writers that both read version v-1 and race
+        to commit v cannot silently last-write-wins each other — the loser
+        raises ConcurrentCommitError instead of losing a commit."""
+        path = self._manifest_path(version)
+        fd = None
+        for attempt in range(2):
+            try:
+                fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+                break
+            except FileExistsError:
+                cur = self._current_version()
+                if cur is not None and cur >= version:
+                    # the racing writer fully committed: a genuine lost race
+                    raise ConcurrentCommitError(
+                        f"manifest version {version} was committed by a "
+                        f"concurrent writer (CURRENT is now {cur})"
+                    ) from None
+                # manifest-v exists but CURRENT < v: either a crash left it
+                # unpointed, or a live writer is mid-commit — age decides
+                try:
+                    age = time.time() - os.path.getmtime(path)
+                except OSError:
+                    continue  # it vanished underneath us — retry the create
+                if age < self._COMMIT_CONFLICT_GRACE_SECONDS or attempt:
+                    raise ConcurrentCommitError(
+                        f"manifest version {version} exists but is not yet "
+                        f"CURRENT — a concurrent commit appears in flight "
+                        f"(age {age:.1f}s)"
+                    ) from None
+                os.unlink(path)  # stale crash leftover — reclaim the slot
+        if fd is None:
+            raise ConcurrentCommitError(
+                f"could not claim manifest version {version}"
+            )
+        with os.fdopen(fd, "w") as f:
             json.dump(manifest, f)
             f.flush()
             os.fsync(f.fileno())

@@ -43,6 +43,10 @@ def main():
     s.add_argument("--route-sql", default=None,
                    help="predicate routing winners to --ephemeral-table")
     s.add_argument("--ephemeral-table", default=None)
+    s.add_argument("--on-invalid", choices=("quarantine", "error"), default="quarantine",
+                   help="V4 mismatch policy: skip-list invalid rows or abort the batch")
+    s.add_argument("--writer-id", default="default",
+                   help="scopes the epoch replay guard (Delta txnAppId pattern)")
 
     b = sub.add_parser("batch")
     b.add_argument("--source", required=True)
@@ -50,6 +54,8 @@ def main():
     b.add_argument("--buckets", type=int, default=32)
     b.add_argument("--chunks", type=int, default=8)
     b.add_argument("--lineage", default=None)
+    b.add_argument("--on-invalid", choices=("quarantine", "error"), default="quarantine")
+    b.add_argument("--writer-id", default="default")
 
     v = sub.add_parser("verify")
     v.add_argument("--source", required=True)
@@ -85,7 +91,8 @@ def main():
                if args.ephemeral_table else None)
         app = ChangeApplier(tbl, lineage_dir=args.lineage,
                             quarantine_dir=f"{args.table}/_quarantine",
-                            route_sql=args.route_sql, ephemeral_table=eph)
+                            route_sql=args.route_sql, ephemeral_table=eph,
+                            on_invalid=args.on_invalid, writer_id=args.writer_id)
         state = run_stream(spark, args.source, app, args.checkpoint,
                            max_files_per_trigger=args.max_files_per_trigger,
                            metrics_path=args.metrics, wire_format=args.wire_format)
@@ -95,7 +102,8 @@ def main():
         log = spark.read.parquet(args.source)
         tbl = TranscriptTable(spark, args.table, n_buckets=args.buckets)
         app = ChangeApplier(tbl, lineage_dir=args.lineage,
-                            quarantine_dir=f"{args.table}/_quarantine")
+                            quarantine_dir=f"{args.table}/_quarantine",
+                            on_invalid=args.on_invalid, writer_id=args.writer_id)
         lo, hi = log.agg(F.min("lsn"), F.max("lsn")).first()
         span = (hi - lo) // args.chunks + 1
         bounds = [(lo + i * span, min(hi, lo + (i + 1) * span - 1)) for i in range(args.chunks)]
