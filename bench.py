@@ -125,6 +125,55 @@ def bench_merge_throughput(spark, n_events: int, n_chunks: int = 4) -> dict:
     }
 
 
+def bench_commit_cost(spark, preload_events: int = 1_000_000,
+                      small_batch: int = 20_000) -> dict:
+    """Merge-on-read evidence: the cost of committing a SMALL batch must not
+    grow with table size (the round-1 copy-on-write design rewrote every
+    touched bucket, making every commit O(table)).  Times the same small-
+    batch merge into (a) an empty table and (b) a table preloaded with
+    ``preload_events`` — at 100 TB the ratio is the difference between a
+    working CDC tail and one that falls behind forever."""
+    from go_data_publisher_spark.lake.table import TranscriptTable
+    from go_data_publisher_spark.sources.changelog import generate_changelog
+    from go_data_publisher_spark.streaming.apply import ChangeApplier
+
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="cdc_commit_", dir=scratch)
+    try:
+        big = generate_changelog(spark, preload_events,
+                                 n_convs=max(200, preload_events // 500), seed=7).persist()
+        big.count()
+        small = generate_changelog(spark, small_batch, n_convs=200, seed=11).persist()
+        small.count()
+
+        loaded = TranscriptTable(spark, f"{root}/loaded", n_buckets=32)
+        ChangeApplier(loaded).apply_batch(big, epoch_id=0)  # preload + warm-up
+        empty = TranscriptTable(spark, f"{root}/empty", n_buckets=32)
+
+        def timed(tbl, epoch):
+            app = ChangeApplier(tbl)
+            best = float("inf")
+            for rep in range(REPEATS):
+                t0 = time.perf_counter()
+                app.apply_batch(small, epoch_id=epoch + rep)
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        t_empty = timed(empty, 0)
+        t_loaded = timed(loaded, 1)
+        big.unpersist()
+        small.unpersist()
+        return {
+            "small_batch_events": small_batch,
+            "preload_events": preload_events,
+            "empty_table_s": round(t_empty, 3),
+            "loaded_table_s": round(t_loaded, 3),
+            "ratio": round(t_loaded / t_empty, 2),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main():
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     spark = get_spark(app_name="bench", cores=CPUS)
@@ -146,6 +195,8 @@ def main():
     per_query["cdc_merge_replay"] = merge["seconds"]
     total += merge["seconds"]
 
+    commit_cost = bench_commit_cost(spark)
+
     print(
         json.dumps(
             {
@@ -155,6 +206,7 @@ def main():
                 "queries": per_query,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "merge_throughput": merge,
+                "commit_cost": commit_cost,
                 "cpus": CPUS,
             }
         )
