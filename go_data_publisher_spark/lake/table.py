@@ -98,7 +98,8 @@ class ConcurrentCommitError(RuntimeError):
     them); callers re-run the whole merge/compact against the fresh manifest.
     Deliberately a RuntimeError so the applier's RetryPolicy classifies it
     retriable: merge() re-reads the manifest per attempt, so a retried merge
-    self-heals.  NOT a subclass of ValueError — a lost race is transient."""
+    targets the next free version and self-heals.  NOT a subclass of
+    ValueError — a lost race is transient."""
 
 
 # Value-preserving promotions only (Iceberg schema-evolution rules): the int
@@ -141,35 +142,42 @@ class TranscriptTable:
         os.makedirs(f"{self.root}/_manifests", exist_ok=True)
         if self._current_version() is None:
             init_schema = schema or schemas.TRANSCRIPT_SCHEMA
-            self._write_manifest(
-                version=0,
-                manifest={
-                    "version": 0,
-                    "schemas": {"0": init_schema.json()},
-                    "current_schema_id": 0,
-                    # file groups: {path, bucket, schema_id, kind: base|delta,
-                    # seq: committing manifest version}
-                    "files": [],
-                    # bounded epoch state: all epochs <= hwm are committed,
-                    # plus a small set of committed epochs above the hwm
-                    "epoch_hwm": -1,
-                    "epochs_recent": [],
-                    "cursor_lsn": -1,
-                    "n_buckets": n_buckets,
-                    "key": self.key,
-                    "order_col": order_col,
-                    "committed_at": time.time(),
-                },
-            )
-        else:
-            # Reopening an existing table: the manifest is the authority for
-            # the physical layout — constructor args (often defaults from a
-            # different CLI invocation) must not silently re-bucket new
-            # writes under a different modulus or re-key the fold.
-            m = self.manifest()
-            self.n_buckets = int(m.get("n_buckets", n_buckets))
-            self.key = list(m.get("key", self.key))
-            self.order_col = str(m.get("order_col", order_col))
+            try:
+                self._write_manifest(
+                    version=0,
+                    manifest={
+                        "version": 0,
+                        "schemas": {"0": init_schema.json()},
+                        "current_schema_id": 0,
+                        # file groups: {path, bucket, schema_id, kind:
+                        # base|delta, seq: committing manifest version}
+                        "files": [],
+                        # bounded epoch state: all epochs <= hwm are
+                        # committed, plus a small set of committed epochs
+                        # above the hwm
+                        "epoch_hwm": -1,
+                        "epochs_recent": [],
+                        "cursor_lsn": -1,
+                        "n_buckets": n_buckets,
+                        "key": self.key,
+                        "order_col": order_col,
+                        "overlap_guard": list(overlap_guard) if overlap_guard else None,
+                        "committed_at": time.time(),
+                    },
+                )
+            except ConcurrentCommitError:
+                pass  # a racing initializer won — adopt its manifest below
+        # The manifest is the authority for the physical layout AND the merge
+        # semantics — constructor args (often defaults from a different CLI
+        # invocation) must not silently re-bucket new writes under a
+        # different modulus, re-key the fold, or disarm the D5 overlap guard.
+        m = self.manifest()
+        self.n_buckets = int(m.get("n_buckets", n_buckets))
+        self.key = list(m.get("key", self.key))
+        self.order_col = str(m.get("order_col", order_col))
+        og = m.get("overlap_guard")
+        if og:
+            self.overlap_guard = (og[0], og[1])
 
     # ---------------- manifest plumbing ----------------
 
@@ -210,62 +218,55 @@ class TranscriptTable:
                 )
         return out
 
-    # an unpointed manifest file younger than this is presumed to belong to a
-    # LIVE writer between its manifest write and CURRENT swap; older, it's a
-    # crash leftover whose version slot can be reclaimed (same rationale as
-    # vacuum's orphan grace)
-    _COMMIT_CONFLICT_GRACE_SECONDS = 60.0
-
     def _write_manifest(self, version: int, manifest: dict) -> None:
-        """Write manifest file, then atomically swing the CURRENT pointer.
+        """Write manifest file, then atomically swing the CURRENT pointer —
+        the whole publish under an exclusive flock on COMMIT_LOCK, so the
+        version check, manifest write, and CURRENT swap form ONE critical
+        section.  Properties:
 
-        The manifest file is created EXCLUSIVELY (O_EXCL): the filename is
-        the commit lock, so two writers that both read version v-1 and race
-        to commit v cannot silently last-write-wins each other — the loser
-        raises ConcurrentCommitError instead of losing a commit."""
-        path = self._manifest_path(version)
-        fd = None
-        for attempt in range(2):
-            try:
-                fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
-                break
-            except FileExistsError:
-                cur = self._current_version()
-                if cur is not None and cur >= version:
-                    # the racing writer fully committed: a genuine lost race
-                    raise ConcurrentCommitError(
-                        f"manifest version {version} was committed by a "
-                        f"concurrent writer (CURRENT is now {cur})"
-                    ) from None
-                # manifest-v exists but CURRENT < v: either a crash left it
-                # unpointed, or a live writer is mid-commit — age decides
-                try:
-                    age = time.time() - os.path.getmtime(path)
-                except OSError:
-                    continue  # it vanished underneath us — retry the create
-                if age < self._COMMIT_CONFLICT_GRACE_SECONDS or attempt:
-                    raise ConcurrentCommitError(
-                        f"manifest version {version} exists but is not yet "
-                        f"CURRENT — a concurrent commit appears in flight "
-                        f"(age {age:.1f}s)"
-                    ) from None
-                os.unlink(path)  # stale crash leftover — reclaim the slot
-        if fd is None:
-            raise ConcurrentCommitError(
-                f"could not claim manifest version {version}"
-            )
-        with os.fdopen(fd, "w") as f:
-            json.dump(manifest, f)
-            f.flush()
-            os.fsync(f.fileno())
-        # atomic publish (the fsync'd cursor write of the reference,
-        # status-service/db/store.go:144)
-        fd, tmp = tempfile.mkstemp(dir=f"{self.root}/_manifests")
-        with os.fdopen(fd, "w") as f:
-            f.write(str(version))
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, self._current_path())
+        - two optimistic writers that both read v-1 serialize here; the
+          loser sees CURRENT already >= its target and raises retriable
+          ConcurrentCommitError (Iceberg's CommitFailedException shape) —
+          never a silent last-write-wins;
+        - a STALLED writer (GC pause, VM suspend) holds the lock and merely
+          blocks peers — it can never interleave a late CURRENT swap that
+          rolls back someone else's commit;
+        - a CRASHED writer's flock auto-releases with its process, and a
+          leftover unpointed manifest file can then only be a crashed
+          writer's (the lock excludes live mid-commit writers) — reclaimed
+          immediately, no grace-window guessing.
+
+        The lock file protects the metadata plane only (one tiny JSON write
+        + rename per commit) — data-file writes stay fully parallel."""
+        import fcntl
+
+        lock_fd = os.open(f"{self.root}/_manifests/COMMIT_LOCK",
+                          os.O_CREAT | os.O_RDWR, 0o644)
+        try:
+            fcntl.flock(lock_fd, fcntl.LOCK_EX)
+            cur = self._current_version()
+            if cur is not None and cur >= version:
+                raise ConcurrentCommitError(
+                    f"manifest version {version} was committed by a "
+                    f"concurrent writer (CURRENT is now {cur})"
+                )
+            path = self._manifest_path(version)
+            if os.path.exists(path):
+                os.unlink(path)  # crashed writer's unpointed leftover
+            with open(path, "w") as f:
+                json.dump(manifest, f)
+                f.flush()
+                os.fsync(f.fileno())
+            # atomic publish (the fsync'd cursor write of the reference,
+            # status-service/db/store.go:144)
+            fd, tmp = tempfile.mkstemp(dir=f"{self.root}/_manifests")
+            with os.fdopen(fd, "w") as f:
+                f.write(str(version))
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, self._current_path())
+        finally:
+            os.close(lock_fd)  # releases the flock
 
     # ---------------- schema ----------------
 
@@ -597,10 +598,21 @@ class TranscriptTable:
 
     def _check_overlap(self, winners: DataFrame) -> None:
         """D5 conflict branch: error if a batch interval overlaps a stored
-        interval with a different lower bound under the same key[0]."""
+        interval with a different lower bound under the same key[0].
+
+        The stored-side probe is pruned to the batch's touched buckets
+        (≤ n_buckets ints to the driver), so the pre-merge check stays
+        O(touched buckets' data), not O(table) — an armed guard must not
+        reintroduce the table-sized per-commit cost merge-on-read removed."""
         lo, hi = self.overlap_guard
         k0 = self.key[0]
-        cur = self.snapshot().select(
+        touched = sorted(
+            r["b"]
+            for r in winners.select(
+                bucket_expr(k0, self.n_buckets).alias("b")).distinct().collect()
+            if r["b"] is not None  # null keys fail later in the write's guard
+        )
+        cur = self.snapshot(buckets=touched).select(
             F.col(k0).alias("__k"), F.col(lo).alias("__clo"), F.col(hi).alias("__chi")
         )
         b = winners.select(F.col(k0).alias("__k"), F.col(lo).alias("__blo"),

@@ -164,10 +164,11 @@ class ChangeApplier:
 
         from pyspark.sql import Observation
 
-        # Batch-level stats (valid lsn bounds + invalid count) ride the
-        # merge write as an Observation — zero extra jobs/scans (the
-        # reference piggybacks its counters on the consume loop the same
-        # way, A5).
+        # The invalid-row count rides the merge write as an Observation —
+        # zero extra jobs/scans (the reference piggybacks its counters on
+        # the consume loop the same way, A5).  The valid-lsn bounds are NOT
+        # observed here: merge() derives them from parquet footer statistics,
+        # so aggregating them per row would be dead work on the hot path.
         vp = validity_predicate()
         # Unique observation name per invocation: a previously-registered
         # observation with the same name (e.g. an aborted strict-mode attempt
@@ -179,8 +180,6 @@ class ChangeApplier:
         observed = batch.observe(
             obs,
             F.sum(F.when(~F.coalesce(vp, F.lit(False)), 1).otherwise(0)).alias("nq"),
-            F.min(F.when(vp, F.col("lsn"))).alias("mn"),
-            F.max(F.when(vp, F.col("lsn"))).alias("mx"),
         )
         valid, quarantined = split_valid(observed)
 
@@ -197,9 +196,12 @@ class ChangeApplier:
         # BOTH targets evolve — the ephemeral table would otherwise silently
         # drop new columns (merge projects onto its own target schema)
         batch_schema = valid.drop("op", "schema_version").schema
-        self.table.evolve_schema(batch_schema)
+        # retry-wrapped like every other manifest commit: an evolution commit
+        # losing a race to a concurrent writer (out-of-band compaction, a
+        # second writer-id pipeline) is retriable, not fatal
+        self.retry.run(lambda: self.table.evolve_schema(batch_schema))
         if self.ephemeral_table is not None:
-            self.ephemeral_table.evolve_schema(batch_schema)
+            self.retry.run(lambda: self.ephemeral_table.evolve_schema(batch_schema))
         target_schema = self.table.schema
 
         dedup = last_wins_salted(valid, n_salts=self.n_salts) if self.salted \
@@ -217,15 +219,22 @@ class ChangeApplier:
 
         if self.route_sql is not None:
             # F3 dual-target routing: split winners by predicate; each
-            # target computes its own touched buckets + cursor
-            eph = changes.where(F.expr(self.route_sql))
-            perm = changes.where(
-                ~F.coalesce(F.expr(self.route_sql), F.lit(False))
-            )
-            self.retry.run(lambda: self.ephemeral_table.merge(
-                eph, epoch_id=epoch_id, deduped=True, writer_id=self.writer_id))
-            stats = self.retry.run(lambda: self.table.merge(
-                perm, epoch_id=epoch_id, deduped=True, writer_id=self.writer_id))
+            # target computes its own touched buckets + cursor.  The winners
+            # are materialized ONCE so both targets' merges (and any retry)
+            # reuse them — without the persist, each merge would re-run the
+            # source scan and the dedup shuffle.
+            changes = changes.persist()
+            try:
+                eph = changes.where(F.expr(self.route_sql))
+                perm = changes.where(
+                    ~F.coalesce(F.expr(self.route_sql), F.lit(False))
+                )
+                self.retry.run(lambda: self.ephemeral_table.merge(
+                    eph, epoch_id=epoch_id, deduped=True, writer_id=self.writer_id))
+                stats = self.retry.run(lambda: self.table.merge(
+                    perm, epoch_id=epoch_id, deduped=True, writer_id=self.writer_id))
+            finally:
+                changes.unpersist()
         else:
             stats = self.retry.run(lambda: self.table.merge(
                 changes, epoch_id=epoch_id, deduped=True, writer_id=self.writer_id))
@@ -238,8 +247,6 @@ class ChangeApplier:
             # be unavailable — fall back to a direct aggregate
             stats_row = batch.agg(
                 F.sum(F.when(~F.coalesce(vp, F.lit(False)), 1).otherwise(0)).alias("nq"),
-                F.min(F.when(vp, F.col("lsn"))).alias("mn"),
-                F.max(F.when(vp, F.col("lsn"))).alias("mx"),
             ).first()
         n_quarantined = int(stats_row["nq"] or 0)
         if self.quarantine_dir:
@@ -332,6 +339,20 @@ class ChangeApplier:
         (status-service/db/store.go:79-111)."""
         if not self.quarantine_dir:
             raise ValueError("no quarantine_dir configured")
+        import os
+
+        has_data = os.path.isdir(self.quarantine_dir) and any(
+            name.endswith(".parquet")
+            for _d, _s, files in os.walk(self.quarantine_dir)
+            for name in files
+        )
+        if not has_data:
+            # a clean run still creates the dir (per-epoch marker files,
+            # which the parquet reader treats as hidden) — an empty skipped
+            # set, not a schema-inference error
+            return self.table.spark.createDataFrame(
+                [], "conv_id string, turn_idx int, lsn bigint, op string, __epoch_id int"
+            )
         q = self.table.spark.read.parquet(self.quarantine_dir)
         return (
             q.select("conv_id", "turn_idx", "lsn", "op", "__epoch_id")

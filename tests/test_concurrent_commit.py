@@ -7,9 +7,6 @@ self-heals).  A crash that leaves a manifest file unpointed (written but
 CURRENT never swung) must NOT poison the version slot forever.
 """
 
-import os
-import time
-
 import pytest
 from pyspark.sql import functions as F
 
@@ -61,20 +58,40 @@ def test_crash_leftover_manifest_slot_is_reclaimed(spark, tmpdir_path):
     tbl = TranscriptTable(spark, root, n_buckets=4)
     log = _clean(generate_changelog(spark, 200, n_convs=5, seed=4)).persist()
     # simulate a crash between manifest write and CURRENT swap: version 1
-    # exists on disk but CURRENT still points at 0
+    # exists on disk but CURRENT still points at 0.  Under the flock commit
+    # section no live writer can be mid-commit while we hold the lock, so
+    # the slot is reclaimed immediately — no grace-window stall, and the
+    # replayed epoch commits on its first retry-free attempt.
     leftover = tbl._manifest_path(1)
     with open(leftover, "w") as f:
         f.write("{}")
-    # fresh leftover: presumed a live writer mid-commit -> loud conflict
-    with pytest.raises(ConcurrentCommitError):
-        tbl.merge(log, epoch_id=0)
-    # age it past the grace window: slot is reclaimed, merge succeeds
-    old = time.time() - 2 * TranscriptTable._COMMIT_CONFLICT_GRACE_SECONDS
-    os.utime(leftover, (old, old))
     assert tbl.merge(log, epoch_id=0)["status"] == "committed"
     assert tbl.manifest()["version"] == 1
-    rows = tbl.snapshot().count()
-    assert rows > 0
+    assert tbl.snapshot().count() > 0
+
+
+def test_overlap_guard_survives_reopen(spark, tmpdir_path):
+    # the D5 guard is merge SEMANTICS: a maintenance CLI reopening the table
+    # with default args must not silently disarm it
+    root = f"{tmpdir_path}/iv"
+    t1 = TranscriptTable(
+        spark, root, n_buckets=4, key=["k"], order_col="v_to",
+        schema=_interval_schema(), overlap_guard=("v_from", "v_to"),
+    )
+    assert t1.overlap_guard == ("v_from", "v_to")
+    t2 = TranscriptTable(spark, root)
+    assert t2.overlap_guard == ("v_from", "v_to")
+    assert t2.key == ["k"] and t2.order_col == "v_to" and t2.n_buckets == 4
+
+
+def _interval_schema():
+    from pyspark.sql import types as T
+
+    return T.StructType([
+        T.StructField("k", T.StringType(), True),
+        T.StructField("v_from", T.LongType(), True),
+        T.StructField("v_to", T.LongType(), True),
+    ])
 
 
 def test_interleaved_appliers_with_conflict_retry(spark, tmpdir_path):

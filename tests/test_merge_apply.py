@@ -262,3 +262,21 @@ def test_strict_mismatch_policy_aborts_batch(spark, tmpdir_path):
     assert stats["rows_quarantined"] == 1 and tbl.snapshot().count() == 1
     skipped = app2.skipped_keys().collect()
     assert len(skipped) == 1 and skipped[0]["lsn"] == 2 and skipped[0]["__epoch_id"] == 0
+
+
+def test_skipped_keys_empty_on_clean_run(spark, tmpdir_path):
+    # a clean run creates the quarantine dir with only _epoch-*.done markers
+    # (hidden to the parquet reader): skipped_keys() must return an empty
+    # frame, not raise a schema-inference error
+    from go_data_publisher_spark.lake.table import TranscriptTable
+    from go_data_publisher_spark.sources.changelog import generate_changelog
+    from go_data_publisher_spark.streaming.apply import ChangeApplier
+
+    root = f"{tmpdir_path}/clean"
+    app = ChangeApplier(TranscriptTable(spark, root, n_buckets=4),
+                        quarantine_dir=f"{root}/_quarantine")
+    log = generate_changelog(spark, 300, n_convs=10, seed=6) \
+        .where("conv_id is not null and turn_idx is not null "
+               "and op in ('I', 'U', 'D')")
+    app.apply_batch(log, epoch_id=0)
+    assert app.skipped_keys().count() == 0
