@@ -174,6 +174,67 @@ def bench_commit_cost(spark, preload_events: int = 1_000_000,
         shutil.rmtree(root, ignore_errors=True)
 
 
+def bench_commit_metadata(spark, small_batch: int = 5_000,
+                          few_files: int = 100, many_files: int = 10_000) -> dict:
+    """Manifest-plane evidence: commit wall time must stay FLAT as the live
+    FILE count grows (per-commit file-list deltas; the round-2 design
+    rewrote the full O(live-files) JSON under the commit lock every merge).
+
+    Preloads each table's manifest with synthetic file entries through the
+    same metadata path real commits use (`_publish`) — merge() never opens
+    other commits' files, so the timed small merges differ ONLY in manifest
+    size: 10^2 vs 10^4 live files, the round-2 VERDICT's target range."""
+    from go_data_publisher_spark.lake.table import TranscriptTable
+    from go_data_publisher_spark.sources.changelog import generate_changelog
+    from go_data_publisher_spark.streaming.apply import ChangeApplier
+
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="cdc_meta_", dir=scratch)
+    try:
+        small = generate_changelog(spark, small_batch, n_convs=200, seed=13).persist()
+        small.count()
+
+        def preload(tbl, n_entries):
+            added = 0
+            while added < n_entries:
+                chunk = min(2500, n_entries - added)
+                tbl._publish(tbl.manifest(), files_added=[
+                    {"path": f"/synthetic/f{added + i}.parquet", "bucket": 0,
+                     "schema_id": 0, "kind": "delta", "seq": 1}
+                    for i in range(chunk)])
+                added += chunk
+
+        def timed(tbl, epoch0):
+            # fresh epoch ids per call: a reused id hits the replay guard and
+            # measures a no-op
+            app = ChangeApplier(tbl)
+            best = float("inf")
+            for rep in range(max(REPEATS, 3)):
+                t0 = time.perf_counter()
+                app.apply_batch(small, epoch_id=epoch0 + rep)
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        t_few = TranscriptTable(spark, f"{root}/few", n_buckets=32)
+        preload(t_few, few_files)
+        t_many = TranscriptTable(spark, f"{root}/many", n_buckets=32)
+        preload(t_many, many_files)
+        timed(t_few, 0)  # warm-up pipeline shape once, outside the compared pair
+        s_few = timed(t_few, 10)
+        s_many = timed(t_many, 0)
+        small.unpersist()
+        return {
+            "small_batch_events": small_batch,
+            "few_live_files": few_files,
+            "many_live_files": many_files,
+            "few_files_commit_s": round(s_few, 3),
+            "many_files_commit_s": round(s_many, 3),
+            "ratio": round(s_many / s_few, 2),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main():
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     spark = get_spark(app_name="bench", cores=CPUS)
@@ -196,6 +257,7 @@ def main():
     total += merge["seconds"]
 
     commit_cost = bench_commit_cost(spark)
+    commit_metadata = bench_commit_metadata(spark)
 
     print(
         json.dumps(
@@ -207,6 +269,7 @@ def main():
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "merge_throughput": merge,
                 "commit_cost": commit_cost,
+                "commit_metadata": commit_metadata,
                 "cpus": CPUS,
             }
         )

@@ -7,9 +7,18 @@ from a lake table, with the same commit discipline the reference gets from
 (transactions-consumer/consume/transaction_consumer.go:134-150):
 
 - **atomic snapshot commits**: data files are written first, then a JSON
-  manifest naming the complete live-file set is published by an atomic
-  rename of the CURRENT pointer.  Readers resolve CURRENT → manifest → files;
-  a crash mid-write leaves orphan data files that no manifest references.
+  manifest is published by an atomic rename of the CURRENT pointer.  Readers
+  resolve CURRENT → manifest → files; a crash mid-write leaves orphan data
+  files that no manifest references.
+- **O(batch) metadata per commit**: a commit manifest records only the
+  file-list *delta* (``base_version`` + ``files_added``/``files_removed``);
+  every ``_CHECKPOINT_INTERVAL``-th version is a self-contained checkpoint
+  holding the full folded list (Delta Lake's JSON-actions-plus-checkpoint
+  log, Iceberg's manifest-list-over-manifest-deltas).  Readers fold at most
+  one checkpoint plus ≤ interval deltas and memoize per immutable version,
+  so steady-state commit metadata is independent of live-file count — the
+  same O(1)-per-commit property as the reference's pebble cursor write
+  (status-service/db/store.go:144).
 - **epoch replay guard (exactly-once-in-effect)**: every manifest records the
   committed foreachBatch epochs (as a contiguous high-watermark plus a small
   out-of-order recent set, so the manifest stays O(1) in stream length);
@@ -38,10 +47,14 @@ from a lake table, with the same commit discipline the reference gets from
   rewriting old files — readers cast old file groups up to the current
   schema at scan time (exactly Iceberg's schema-id-per-data-file).
 
-Scale notes: the manifest holds file *names* only (O(live files), bounded by
-compaction) and O(1) epoch state; all data movement is executor-side.  The
-driver only lists/renames manifest JSON — the same metadata-plane work an
-Iceberg catalog commit does.
+Scale notes: a commit writes O(batch-files) manifest JSON (plus one
+amortized O(live-files) checkpoint every interval) and O(1) epoch state; all
+data movement is executor-side.  The driver only lists/renames manifest
+JSON — the same metadata-plane work an Iceberg catalog commit does.
+Commit mutual exclusion uses ``flock`` and therefore assumes the table root
+is on a LOCAL POSIX filesystem (see `_write_manifest`); pointing multiple
+hosts at a network mount needs an external lock service or the Iceberg
+catalog backend.
 """
 
 from __future__ import annotations
@@ -138,6 +151,8 @@ class TranscriptTable:
         self.key = list(key)
         self.order_col = order_col
         self.overlap_guard = overlap_guard
+        # folded file lists per (immutable) manifest version — see _resolve_files
+        self._files_cache: dict[int, list] = {}
         os.makedirs(f"{self.root}/data", exist_ok=True)
         os.makedirs(f"{self.root}/_manifests", exist_ok=True)
         if self._current_version() is None:
@@ -150,8 +165,12 @@ class TranscriptTable:
                         "schemas": {"0": init_schema.json()},
                         "current_schema_id": 0,
                         # file groups: {path, bucket, schema_id, kind:
-                        # base|delta, seq: committing manifest version}
+                        # base|delta, seq: committing manifest version}.
+                        # v0 is a checkpoint manifest (full list); later
+                        # versions usually carry only base_version +
+                        # files_added/files_removed deltas (see manifest()).
                         "files": [],
+                        "n_live_files": 0,
                         # bounded epoch state: all epochs <= hwm are
                         # committed, plus a small set of committed epochs
                         # above the hwm
@@ -194,28 +213,130 @@ class TranscriptTable:
     def _manifest_path(self, version: int) -> str:
         return f"{self.root}/_manifests/manifest-{version:012d}.json"
 
+    # Every _CHECKPOINT_INTERVAL-th version is a self-contained checkpoint
+    # (full folded file list); versions in between carry only the per-commit
+    # file-list delta.  Bounds both the fold depth on read and the retention
+    # scope of vacuum's squash step.
+    _CHECKPOINT_INTERVAL = 20
+
+    def _retained_versions(self) -> list[int]:
+        return sorted(
+            int(n.split("-")[1].split(".")[0])
+            for n in os.listdir(f"{self.root}/_manifests")
+            if n.startswith("manifest-")
+        )
+
+    def _load_raw(self, version: int) -> dict:
+        """The manifest JSON exactly as committed — a checkpoint (has
+        ``files``) or a delta (has ``base_version`` + ``files_added`` /
+        ``files_removed``).  A version expired by vacuum raises a clear
+        retention error instead of a raw FileNotFoundError."""
+        try:
+            with open(self._manifest_path(version)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            retained = self._retained_versions()
+            oldest = retained[0] if retained else None
+            raise ValueError(
+                f"version {version} is not retained (removed by vacuum); "
+                f"oldest retained version is {oldest}"
+            ) from None
+
+    def _resolve_files(self, version: int, raw: dict | None = None) -> list:
+        """Fold the delta chain into the version's full live-file list.
+        Walks back to the nearest checkpoint OR nearest cached version (the
+        common case after a commit: one delta on top of the cached parent),
+        then replays removals/additions forward.  Memoized per version —
+        manifests are immutable once published."""
+        cached = self._files_cache.get(version)
+        if cached is not None:
+            return list(cached)
+        m = raw if raw is not None else self._load_raw(version)
+        chain: list[dict] = []
+        files: list | None = None
+        while "files" not in m:
+            base = self._files_cache.get(int(m["base_version"]))
+            if base is not None:
+                files = list(base)
+                chain.append(m)
+                break
+            chain.append(m)
+            m = self._load_raw(int(m["base_version"]))
+        if files is None:
+            files = list(m["files"])
+        for d in reversed(chain):
+            removed = set(d.get("files_removed", ()))
+            if removed:
+                files = [f for f in files if f["path"] not in removed]
+            files = files + list(d.get("files_added", ()))
+        self._files_cache[version] = files
+        while len(self._files_cache) > 8:
+            self._files_cache.pop(min(self._files_cache))
+        return list(files)
+
     def manifest(self, version: int | None = None) -> dict:
-        v = self._current_version() if version is None else version
-        with open(self._manifest_path(v)) as f:
-            return json.load(f)
+        """The committed manifest at ``version`` (default: CURRENT), with the
+        file-list delta chain folded so ``m["files"]`` is always the full
+        live set regardless of the on-disk representation."""
+        v = self._current_version() if version is None else int(version)
+        m = dict(self._load_raw(v))
+        m["files"] = self._resolve_files(v, m)
+        m.pop("base_version", None)
+        m.pop("files_added", None)
+        m.pop("files_removed", None)
+        return m
+
+    def _file_fields(self, m: dict, files_added, files_removed, version: int) -> dict:
+        """The file-list portion of the next manifest: a full checkpoint every
+        interval (amortized O(live/interval) per commit), a delta otherwise
+        (O(batch-files))."""
+        if version % self._CHECKPOINT_INTERVAL == 0:
+            removed = set(files_removed)
+            files = [f for f in m["files"] if f["path"] not in removed]
+            return {"files": files + list(files_added)}
+        return {"base_version": int(m["version"]),
+                "files_added": list(files_added),
+                "files_removed": list(files_removed)}
+
+    def _publish(self, m: dict, files_added=(), files_removed=(),
+                 extra: dict | None = None) -> dict:
+        """Build and commit version ``m["version"]+1`` from the folded
+        manifest ``m`` plus a file-list delta and any metadata updates.
+        Metadata written per commit is O(files_added + files_removed), not
+        O(live files), except at checkpoint versions."""
+        v = int(m["version"]) + 1
+        update = {k: val for k, val in m.items()
+                  if k not in ("files", "base_version", "files_added", "files_removed")}
+        update.update(self._file_fields(m, files_added, files_removed, v))
+        update["version"] = v
+        update["committed_at"] = time.time()
+        update["n_live_files"] = (
+            int(m.get("n_live_files", len(m["files"])))
+            - len(set(files_removed)) + len(list(files_added))
+        )
+        if extra:
+            update.update(extra)
+        self._write_manifest(v, update)
+        return update
 
     def history(self) -> list[dict]:
         """All committed snapshot versions (time travel index): one dict per
-        manifest with version, epoch watermark, cursor.  Iceberg-style
-        snapshot log — old manifests are retained, so any past version can
-        be read back with ``snapshot(version=...)``."""
+        manifest with version, epoch watermark, cursor, live-file count.
+        Iceberg-style snapshot log — retained versions stay readable with
+        ``snapshot(version=...)``.  Cheap: reads each manifest JSON once, and
+        all non-checkpoint manifests are O(commit-delta) small; ``n_files``
+        comes from the running ``n_live_files`` counter, no folding."""
         out = []
-        for name in sorted(os.listdir(f"{self.root}/_manifests")):
-            if name.startswith("manifest-"):
-                with open(f"{self.root}/_manifests/{name}") as f:
-                    m = json.load(f)
-                out.append(
-                    {"version": m["version"], "cursor_lsn": m["cursor_lsn"],
-                     "n_files": len(m["files"]),
-                     "epoch_hwm": m["epoch_hwm"],
-                     "epochs_recent": m["epochs_recent"],
-                     "committed_at": m.get("committed_at")}
-                )
+        for v in self._retained_versions():
+            m = self._load_raw(v)
+            out.append(
+                {"version": m["version"], "cursor_lsn": m["cursor_lsn"],
+                 "n_files": int(m.get("n_live_files", len(m.get("files", ())))),
+                 "epoch_hwm": m["epoch_hwm"],
+                 "epochs_recent": m["epochs_recent"],
+                 "committed_at": m.get("committed_at"),
+                 "kind": "checkpoint" if "files" in m else "delta"}
+            )
         return out
 
     def _write_manifest(self, version: int, manifest: dict) -> None:
@@ -236,8 +357,16 @@ class TranscriptTable:
           writer's (the lock excludes live mid-commit writers) — reclaimed
           immediately, no grace-window guessing.
 
-        The lock file protects the metadata plane only (one tiny JSON write
-        + rename per commit) — data-file writes stay fully parallel."""
+        The lock file protects the metadata plane only (one small JSON write
+        + rename per commit) — data-file writes stay fully parallel.
+
+        SCOPE: ``flock`` guarantees mutual exclusion only on a LOCAL POSIX
+        filesystem.  On NFS/FUSE mounts it may silently be advisory-per-host
+        or a no-op, reverting concurrent cross-host commits to
+        last-write-wins.  Single-host (many processes) use is safe anywhere
+        flock works; multi-host deployments need a shared lock service or
+        the Iceberg catalog backend (`lake.iceberg`), whose catalog provides
+        the atomic compare-and-swap instead."""
         import fcntl
 
         lock_fd = os.open(f"{self.root}/_manifests/COMMIT_LOCK",
@@ -313,8 +442,7 @@ class TranscriptTable:
         new_id = int(m["current_schema_id"]) + 1
         m["schemas"][str(new_id)] = T.StructType(out).json()
         m["current_schema_id"] = new_id
-        self._write_manifest(m["version"] + 1, {**m, "version": m["version"] + 1,
-                                                "committed_at": time.time()})
+        self._publish(m)  # metadata-only commit: no file-list change
         return True
 
     # ---------------- reads ----------------
@@ -585,9 +713,8 @@ class TranscriptTable:
             tos = [r["lsn_to"] for r in per_bucket if r["lsn_to"] is not None]
             batch_max_lsn = max(tos) if tos else None
 
-        self._commit(m, writer_id=writer_id,
-                     files=m["files"] + new_files, epoch_id=epoch_id,
-                     batch_max_lsn=batch_max_lsn)
+        self._commit(m, writer_id=writer_id, files_added=new_files,
+                     epoch_id=epoch_id, batch_max_lsn=batch_max_lsn)
         return {
             "status": "committed",
             "epoch_id": epoch_id,
@@ -637,9 +764,17 @@ class TranscriptTable:
     # fail loud long before the manifest bloats
     _MAX_EPOCHS_RECENT = 100_000
 
-    def _commit(self, m: dict, files, epoch_id, batch_max_lsn,
-                writer_id: str = "default") -> None:
-        v = m["version"] + 1
+    # a named writer whose last commit is older than this is dropped from the
+    # manifest's writers map at the next commit — Delta's
+    # setTransactionRetentionDuration: long-lived tables would otherwise
+    # retain every rotated checkpoint/pipeline id forever.  An expired
+    # writer that resumes restarts from epoch -1, so the retention must
+    # exceed the longest plausible checkpoint pause.
+    writer_retention_seconds: float = 30 * 24 * 3600.0
+
+    def _commit(self, m: dict, epoch_id, batch_max_lsn,
+                writer_id: str = "default",
+                files_added=(), files_removed=()) -> None:
         cursor = max(int(m["cursor_lsn"]), int(batch_max_lsn)) if batch_max_lsn is not None \
             else int(m["cursor_lsn"])
         # bounded epoch state: fold the new epoch into the writer's
@@ -655,21 +790,25 @@ class TranscriptTable:
                 f"above its high watermark {hwm} — the epoch id space has a "
                 f"permanent gap; epoch ids must be contiguous per writer"
             )
-        update = {
-            **m,
-            "version": v,
-            "files": files,
-            "cursor_lsn": cursor,
-            "committed_at": time.time(),
+        now = time.time()
+        extra = {"cursor_lsn": cursor}
+        # expire stale named writers (entries without a timestamp are legacy:
+        # stamp them lazily rather than dropping a live replay guard)
+        writers = {
+            wid: (w if "last_commit_at" in w else {**w, "last_commit_at": now})
+            for wid, w in m.get("writers", {}).items()
+            if now - float(w.get("last_commit_at", now)) <= self.writer_retention_seconds
         }
         if writer_id == "default":
-            update["epoch_hwm"] = hwm
-            update["epochs_recent"] = sorted(recent)
+            extra["epoch_hwm"] = hwm
+            extra["epochs_recent"] = sorted(recent)
         else:
-            writers = dict(m.get("writers", {}))
-            writers[writer_id] = {"epoch_hwm": hwm, "epochs_recent": sorted(recent)}
-            update["writers"] = writers
-        self._write_manifest(v, update)
+            writers[writer_id] = {"epoch_hwm": hwm, "epochs_recent": sorted(recent),
+                                  "last_commit_at": now}
+        if writers or "writers" in m:
+            extra["writers"] = writers
+        self._publish(m, files_added=files_added, files_removed=files_removed,
+                      extra=extra)
 
     # ---------------- maintenance ----------------
 
@@ -688,15 +827,30 @@ class TranscriptTable:
         can be running concurrently."""
         now = time.time()
         cur = self._current_version()
-        versions = sorted(
-            int(n.split("-")[1].split(".")[0])
-            for n in os.listdir(f"{self.root}/_manifests")
-            if n.startswith("manifest-")
-        )
+        versions = self._retained_versions()
         keep = set(v for v in versions if v > cur - keep_versions) | {cur}
+        # Squash before expiry: a kept DELTA manifest whose base chain
+        # reaches below the keep window is rewritten in place as a
+        # self-contained checkpoint (content-identical fold — the resolved
+        # file list does not change), so expiring older manifests can never
+        # strand a chain.  Ascending order: within the contiguous keep
+        # window a base >= min(keep) is itself kept and already squashed.
+        min_keep = min(keep)
+        for v in sorted(keep):
+            raw = self._load_raw(v)
+            if "files" not in raw and int(raw["base_version"]) < min_keep:
+                folded = {k: val for k, val in raw.items()
+                          if k not in ("base_version", "files_added", "files_removed")}
+                folded["files"] = self._resolve_files(v, raw)
+                fd, tmp = tempfile.mkstemp(dir=f"{self.root}/_manifests")
+                with os.fdopen(fd, "w") as f:
+                    json.dump(folded, f)
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.replace(tmp, self._manifest_path(v))
         live: set[str] = set()
         for v in keep:
-            live |= {f["path"] for f in self.manifest(v)["files"]}
+            live |= {f["path"] for f in self._resolve_files(v)}
         removed_files = 0
         for dirpath, _dirs, files in os.walk(f"{self.root}/data"):
             for name in files:
@@ -773,11 +927,10 @@ class TranscriptTable:
                     new_files.append({"path": f"{out_dir}/{entry}/{name}", "bucket": b,
                                       "schema_id": sid, "kind": "base", "seq": seq,
                                       "folded_hwm": folded_hwm.get(b, 0)})
-        kept = [f for f in m["files"] if f["bucket"] not in target_buckets]
-        self._write_manifest(m["version"] + 1,
-                             {**m, "version": m["version"] + 1,
-                              "files": kept + new_files,
-                              "committed_at": time.time()})
+        folded_paths = [f["path"] for f in m["files"] if f["bucket"] in target_buckets]
+        # manifest delta is O(work done): the files this compaction folded
+        # away plus the base files it wrote — never the untouched buckets
+        self._publish(m, files_added=new_files, files_removed=folded_paths)
 
     def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Incremental read / change data feed: the raw change rows (upserts

@@ -30,7 +30,7 @@ def test_lost_race_raises_concurrent_commit(spark, tmpdir_path):
     assert tb.merge(log.where("lsn <= 200"), epoch_id=0)["status"] == "committed"
     # A's commit, computed against the stale read, must lose LOUDLY
     with pytest.raises(ConcurrentCommitError):
-        ta._commit(ma, files=ma["files"], epoch_id=1, batch_max_lsn=None)
+        ta._commit(ma, epoch_id=1, batch_max_lsn=None)
     # nothing was clobbered: B's commit is intact and readable
     assert tb.manifest()["version"] == 1
     assert tb.snapshot().count() > 0
