@@ -161,9 +161,12 @@ SQL_CONTENT_HASH = """
 
 
 def q_read_before_write(spark, sf_dir):
+    # cut early in the id space so a meaningful set of (user, type) pairs is
+    # genuinely unseen at read time — at the old cut of 8000 every pair
+    # already existed and the entry passed vacuously on zero rows
     ev = _t(spark, sf_dir, "events")
-    batch = ev.where("event_id > 8000")
-    target = ev.where("event_id <= 8000")
+    batch = ev.where("event_id > 300")
+    target = ev.where("event_id <= 300")
     return D.drop_already_present(batch, target, on=["user_id", "event_type"]).select(
         "event_id", "user_id", "event_type"
     )
@@ -172,9 +175,9 @@ def q_read_before_write(spark, sf_dir):
 SQL_READ_BEFORE_WRITE = """
   SELECT b.event_id, b.user_id, b.event_type
   FROM events b
-  WHERE b.event_id > 8000
+  WHERE b.event_id > 300
     AND NOT EXISTS (SELECT 1 FROM events t
-                    WHERE t.event_id <= 8000
+                    WHERE t.event_id <= 300
                       AND t.user_id = b.user_id AND t.event_type = b.event_type)
 """
 
@@ -411,15 +414,18 @@ SQL_ROUTE_FILTER = """
 # ---------------------------------------------------------------------------
 
 def q_set_difference(spark, sf_dir):
+    # rare-event user sets (low-value errors vs low-value purchases) genuinely
+    # differ on the fixtures; every plain event_type covers ALL users, so the
+    # old purchase-vs-signup comparison passed vacuously on zero rows
     ev = _t(spark, sf_dir, "events")
-    a = ev.where("event_type = 'purchase'").select("user_id")
-    b = ev.where("event_type = 'signup'").select("user_id")
+    a = ev.where("event_type = 'error' AND value < 0.5").select("user_id")
+    b = ev.where("event_type = 'purchase' AND value < 0.5").select("user_id")
     return V.set_difference(a, b, ["user_id"])
 
 
 SQL_SET_DIFFERENCE = """
-  WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
-       b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup')
+  WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error' AND value < 0.5),
+       b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' AND value < 0.5)
   SELECT user_id, 'only_left' AS side FROM a WHERE user_id NOT IN (SELECT user_id FROM b)
   UNION ALL
   SELECT user_id, 'only_right' AS side FROM b WHERE user_id NOT IN (SELECT user_id FROM a)
@@ -770,8 +776,14 @@ def q_emb_near_dup(spark, sf_dir):
     all-pairs SQL: the verify stage makes precision exact, and at this
     threshold/band setting recall is complete on the test corpora (pinned by
     the pytest brute-force-equality oracle in test_textdedup_similarity)."""
+    # threshold 0.45 sits just under the fixtures' max pairwise cosine
+    # (0.479 at sf0.001, 0.513 at sf0.01), so the entry returns real pairs —
+    # at the old 0.9 no pair existed and the hash match was vacuous.  32
+    # bands of 4 planes give per-pair miss ≈ (1-0.65^4)^32 ≈ 2e-3 at the
+    # threshold angle; recall on the fixed-seed fixtures is exact (verified
+    # against the all-pairs oracle at both sf).
     emb = _t(spark, sf_dir, "embeddings")
-    pairs = TD.embedding_near_duplicates(emb, threshold=0.9, n_planes=4, n_bands=16)
+    pairs = TD.embedding_near_duplicates(emb, threshold=0.45, n_planes=4, n_bands=32)
     return pairs.select("id_a", "id_b", (F.round("cosine", 3) + 0.0).alias("cosine_r3"))
 
 
@@ -783,7 +795,7 @@ SQL_EMB_NEAR_DUP = """
   FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
   WHERE list_dot_product(a.embedding, b.embedding) /
         (sqrt(list_dot_product(a.embedding, a.embedding)) *
-         sqrt(list_dot_product(b.embedding, b.embedding))) >= 0.9
+         sqrt(list_dot_product(b.embedding, b.embedding))) >= 0.45
 """
 
 

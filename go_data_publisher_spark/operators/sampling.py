@@ -12,9 +12,12 @@ tool.  Both operators key off a content hash of a stable id instead:
   sample (a strict subset of the 50% — useful for consistent down-scaling).
   For independent samples that compose multiplicatively, use distinct salts.
 - `quota_per_group`: at most N rows per group (per lang/source mixture
-  caps), picked in hash order so the winners are stable.  One partitioned
-  window — shuffle on the group key only; skewed groups cost one task, which
-  is exactly the per-group cap's working set.
+  caps), picked in hash order so the winners are stable.  Exact two-phase
+  threshold selection: a coarse per-(group, hash-prefix) histogram decides
+  whole buckets in or out, and only the single BOUNDARY bucket per group
+  (expected group_size/16^prefix_len rows) is ranked with a window — so a
+  billion-row over-represented group never becomes one task's full sort
+  (mixture caps run over the most skewed axis by definition).
 
 md5 (not xxhash64) so the very same predicate runs in any engine —
 the DuckDB oracles in __spark_entry__.py execute it verbatim.
@@ -53,21 +56,64 @@ def deterministic_sample(df: DataFrame, fraction: float, key_col: str,
     return df.where(F.substring(_hash_hex(key_col, salt), 1, 8) < F.lit(threshold))
 
 
+def _quota_split(df: DataFrame, group_cols: list, quota: int, key_col: str,
+                 salt: str, prefix_len: int):
+    """(keep_all, boundary_ranked) halves of the exact quota selection.
+
+    Phase 1 — histogram: count rows per (group, first ``prefix_len`` hex
+    chars of the hash).  A map-side-partial hash aggregate producing at most
+    n_groups·16^prefix_len rows; the running count of strictly-smaller
+    prefix buckets (``__below``) is a window over those ≤16^prefix_len
+    count rows per group — trivially small.
+
+    Phase 2 — route each row by its bucket's position vs the quota:
+    ``__below + __c <= quota`` → the whole bucket is within the quota (no
+    ranking needed); ``__below >= quota`` → the whole bucket is out; the one
+    straddling bucket per group gets an exact ``row_number`` window whose
+    per-group working set is that bucket only (expected
+    group_size/16^prefix_len rows), offset by ``__below``.
+
+    The join of rows to bucket counts keys on (group, prefix), so even its
+    shuffle splits a skewed group 16^prefix_len ways.
+    """
+    h = _hash_hex(key_col, salt)
+    rows = (df.withColumn("__qh", h)
+              .withColumn("__qpfx", F.substring("__qh", 1, prefix_len)))
+    counts = rows.groupBy(*group_cols, "__qpfx").agg(F.count(F.lit(1)).alias("__c"))
+    wcum = (Window.partitionBy(*group_cols).orderBy("__qpfx")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    counts = counts.withColumn(
+        "__below", F.coalesce(F.sum("__c").over(wcum), F.lit(0)).cast("long")
+    )
+    joined = rows.join(counts, on=group_cols + ["__qpfx"], how="inner")
+    keep_all = joined.where(F.col("__below") + F.col("__c") <= quota)
+    wb = Window.partitionBy(*group_cols).orderBy("__qh")
+    boundary = (
+        joined.where((F.col("__below") < quota)
+                     & (F.col("__below") + F.col("__c") > quota))
+        .withColumn("__rn", F.row_number().over(wb))
+        .where(F.col("__rn") + F.col("__below") <= quota)
+    )
+    return keep_all, boundary
+
+
 def quota_per_group(df: DataFrame, group_cols, quota: int, key_col: str,
-                    salt: str = "") -> DataFrame:
+                    salt: str = "", prefix_len: int = 3) -> DataFrame:
     """At most ``quota`` rows per group, selected in md5(key) order.
 
     The mixture-balancing primitive: cap over-represented sources/languages
     while keeping the selection reproducible.  md5 per-key is collision-free
     for practical id spaces, so the ordering has no ties and the result is
-    a deterministic set.
+    a deterministic set — identical to ranking the whole group, computed
+    without ever sorting the whole group in one task (see `_quota_split`).
+
+    ``prefix_len`` trades histogram width (16^prefix_len buckets per group)
+    against boundary-bucket size; 3 → 4096 buckets, so even a billion-row
+    group ranks only ~250k rows in its single boundary task.
     """
     if quota < 0:
         raise ValueError("quota must be >= 0")
     group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
-    w = Window.partitionBy(*group_cols).orderBy(_hash_hex(key_col, salt))
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") <= quota)
-        .drop("__rn")
-    )
+    out_cols = df.columns
+    keep_all, boundary = _quota_split(df, group_cols, quota, key_col, salt, prefix_len)
+    return keep_all.select(*out_cols).unionByName(boundary.select(*out_cols))

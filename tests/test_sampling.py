@@ -76,3 +76,45 @@ def test_sample_fraction_edges(spark):
     df = spark.range(500)
     assert deterministic_sample(df, 1.0, "id").count() == 500
     assert deterministic_sample(df, 0.0, "id").count() == 0
+
+
+def _naive_quota(spark, df, group, quota, key):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group).orderBy(F.md5(F.col(key).cast("string")))
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= quota).drop("__rn"))
+
+
+def test_quota_two_phase_equals_naive_window(spark):
+    """The histogram+boundary selection must pick the exact same row set as
+    ranking the whole group (the round-2 implementation), across skewed
+    group sizes and quota edge cases."""
+    rows = [(i, "big") for i in range(3000)] + \
+           [(10_000 + i, "mid") for i in range(40)] + [(99_999, "one")]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    for quota in (0, 1, 7, 40, 5000):
+        got = set(map(tuple, quota_per_group(df, "grp", quota, "id").collect()))
+        want = set(map(tuple, _naive_quota(spark, df, "grp", quota, "id").collect()))
+        assert got == want, f"quota={quota}"
+
+
+def test_quota_boundary_bucket_is_small(spark):
+    """Scale evidence: only the straddling hash-prefix bucket per group is
+    ranked — the window's working set is ~group_size/16^prefix_len, never
+    the whole group."""
+    from go_data_publisher_spark.operators.sampling import _quota_split
+
+    df = spark.createDataFrame([(i, "en") for i in range(20_000)],
+                               "id long, grp string")
+    keep_all, boundary = _quota_split(df, ["grp"], 50, "id", "", 2)
+    assert boundary.count() <= 50  # post-rank winners from the one boundary bucket
+    # the ranked window's input is one prefix bucket; the largest bucket in
+    # the whole group is far below the group size
+    n_boundary = df.withColumn("__qh", F.md5(F.col("id").cast("string"))) \
+        .withColumn("__qpfx", F.substring("__qh", 1, 2)) \
+        .groupBy("__qpfx").count().agg(F.max("count")).first()[0]
+    assert n_boundary < 20_000 / 64  # no prefix bucket close to the group size
+    # and the composed result is still exactly the quota
+    out = quota_per_group(df, "grp", 50, "id", prefix_len=2)
+    assert out.count() == 50
