@@ -705,13 +705,17 @@ SQL_EMB_TOPK = """
 
 def q_minhash_pairs_docs(spark, sf_dir):
     # the sf fixtures are one parquet split; spread the shingle/signature
-    # compute before the operator (a real corpus arrives in many splits)
-    docs = _t(spark, sf_dir, "documents").repartition(32)
+    # compute before the operator (a real corpus arrives in many splits).
+    # Width follows the session's core count — a literal would over-partition
+    # tiny corpora and under-partition a real cluster.
+    width = spark.sparkContext.defaultParallelism
+    docs = _t(spark, sf_dir, "documents").repartition(width)
     return TD.minhash_lsh_pairs(docs, n_hashes=16, n_bands=4, verify_threshold=0.4)
 
 
 def q_simhash_pairs_docs(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents").repartition(32)
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
     return TD.simhash_near_duplicates(docs, max_hamming=6)
 
 

@@ -578,6 +578,7 @@ class TranscriptTable:
         order_col: str | None = None,
         deduped: bool = False,
         writer_id: str = "default",
+        write_parallelism: int | None = None,
     ) -> dict:
         """Idempotent, LSN-guarded MERGE of one change batch.
 
@@ -611,6 +612,11 @@ class TranscriptTable:
         ChangeApplier — already reduced the batch to one winner per key).
         ``batch_max_lsn`` overrides the cursor advance; by default the cursor
         advances to the batch's max order value.
+        ``write_parallelism`` caps the delta write's concurrent tasks (still
+        one output file pair per bucket via partitionBy) — the applier's
+        degrade-on-persistent-failure ladder lowers it toward serial when
+        full-width writes keep failing (the reference's adaptive worker
+        fallback, status-service/sync/tick_processor.go:163).
         """
         m = self.manifest()
         hwm0, recent0 = self._writer_state(m, writer_id)
@@ -671,7 +677,9 @@ class TranscriptTable:
         # (measured 12s → 4s per write stage at 32 threads).  Deltas are
         # batch-sized and folded/compacted away, so scan-side row-group size
         # doesn't matter; compact() writes base files with the default.
-        (changes.repartition(self.n_buckets, "__bucket")
+        n_write_tasks = min(self.n_buckets, write_parallelism) \
+            if write_parallelism else self.n_buckets
+        (changes.repartition(n_write_tasks, "__bucket")
                 .write.mode("overwrite").option("parquet.block.size", 16 << 20)
                 .partitionBy("__bucket", "__del").parquet(out_dir))
 

@@ -21,6 +21,7 @@ def salted_join(
     on: str,
     n_salts: int = 8,
     how: str = "inner",
+    discriminator: str | None = None,
 ) -> DataFrame:
     """Equi-join a skewed big side to a small side without a hot reducer.
 
@@ -32,6 +33,14 @@ def salted_join(
 
     Shuffle math: big side shuffles once (same as unsalted); small side
     shuffles n_salts× its (small) size — the classic trade.
+
+    LIMITATION of the default content-hash salt: rows with identical content
+    all hash to ONE salt, so a skew caused by exact-duplicate rows is not
+    spread.  When the big side has (or may have) duplicate rows, pass a
+    ``discriminator`` column that varies across those duplicates (a
+    monotonically-increasing id, an offset, a source partition/lsn) — it is
+    mixed into the salt hash, restoring the spread while keeping the salt
+    deterministic under task retry.
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left (small side must be replicable)")
@@ -39,11 +48,13 @@ def salted_join(
     # which salt a row gets), but it must be DETERMINISTIC under recomputation:
     # a stage retry that re-runs map tasks must assign the same salt to the
     # same row, or reducers consuming mixed old/new map output see rows zero
-    # or two times.  Hash the full row content (identical rows colliding on
-    # one salt is fine — the join result doesn't depend on salt placement).
+    # or two times.  Hash the full row content — NOT F.rand(), whose
+    # per-partition stream changes when map output is recomputed.
+    salt_cols = [F.col(discriminator)] if discriminator is not None \
+        else [F.col(c) for c in big.columns]
     salted_big = big.withColumn(
         "__salt",
-        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts)).cast("int"),
+        F.pmod(F.xxhash64(*salt_cols), F.lit(n_salts)).cast("int"),
     )
     replicated_small = small.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

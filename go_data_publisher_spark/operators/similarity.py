@@ -181,14 +181,48 @@ def _probe_buckets(qb: int, n_planes: int, multiprobe_hamming: int) -> list[int]
     return probes
 
 
+def bucketize(df: DataFrame, n_planes: int = 8, seed: int = 7,
+              vec_col: str = "embedding", bucket_col: str = "bucket") -> DataFrame:
+    """Precompute the RHP bucket column once.  Persist/cache the result (or
+    write it with `write_ivf_index` for file-level pruning) and pass
+    ``bucket_col`` to `ann_topk_lsh` so repeated queries pay a column filter,
+    not a full re-hash of every corpus vector."""
+    return df.withColumn(bucket_col, rhp_bucket(F.col(vec_col), n_planes, seed))
+
+
 def ann_topk_lsh(df: DataFrame, query: Sequence[float], k: int = 10, n_planes: int = 8,
                  seed: int = 7, id_col: str = "vec_id", vec_col: str = "embedding",
-                 multiprobe_hamming: int = 1) -> DataFrame:
+                 multiprobe_hamming: int = 1, bucket_col: str | None = None) -> DataFrame:
+    """ANN top-k via RHP-LSH bucket probing.
+
+    Index-free ONE-SHOT form (``bucket_col=None``): recomputes every corpus
+    vector's bucket in the scan — a full pass over the corpus, amortized
+    over nothing.  Right for a single ad-hoc query; wrong for a query
+    workload.  For repeated queries either:
+
+    - pass a frame prepared by `bucketize` (+ ``bucket_col``): the probe is
+      a filter on the stored column — no re-hash, and a cached/persisted
+      frame serves every subsequent query, or
+    - use `write_ivf_index` + `ann_topk_ivf`: same buckets as a partition
+      column, so the probe prunes data FILES at scan time — the layout that
+      still works when the corpus doesn't fit in cache (10^10 vectors).
+
+    All three paths share the same plane derivation and probe expansion, so
+    they return identical results for identical parameters.
+    """
     spark = df.sparkSession
     qb = _query_bucket(spark, query, n_planes, seed)
     probes = _probe_buckets(qb, n_planes, multiprobe_hamming)
-    bucketed = df.withColumn("__bucket", rhp_bucket(F.col(vec_col), n_planes, seed))
-    cand = bucketed.where(F.col("__bucket").isin(probes))
+    if bucket_col is not None:
+        if bucket_col not in df.columns:
+            raise ValueError(
+                f"bucket_col {bucket_col!r} not in frame — prepare it with "
+                f"bucketize(df, n_planes={n_planes}, seed={seed})"
+            )
+        cand = df.where(F.col(bucket_col).isin(probes))
+    else:
+        cand = df.withColumn("__bucket", rhp_bucket(F.col(vec_col), n_planes, seed)) \
+                 .where(F.col("__bucket").isin(probes))
     return brute_force_topk(cand, query, k=k, id_col=id_col, vec_col=vec_col)
 
 

@@ -49,17 +49,41 @@ class MismatchError(RuntimeError):
 
 
 def _default_is_retriable(exc: BaseException) -> bool:
-    """Transient (IO-shaped) failures retry; semantic failures don't.
+    """WHITELIST of transient shapes; everything else is terminal.
 
     The reference's split: HTTP 429/502/503/504 retry, anything else is
-    terminal (transactions-consumer/main.go:118-120).  Here: schema
-    conflicts / bad arguments / strict-mode aborts are terminal; IO errors
-    and JVM-side write failures are presumed transient.
+    terminal (transactions-consumer/main.go:118-120).  Retriable here:
+    lost optimistic-commit races (merge re-reads the manifest per attempt
+    and self-heals), OS/IO errors, and JVM-side job failures surfaced
+    through py4j/Spark (executor loss, fetch failure, storage hiccups).
+    A whitelist — not a blacklist of known-semantic types — so permanent
+    failures that happen to be RuntimeErrors (e.g. the epoch-gap guard in
+    TranscriptTable._commit) surface immediately instead of burning the
+    backoff budget first.
     """
     from pyspark.errors import AnalysisException
 
-    return not isinstance(exc, (ValueError, TypeError, KeyError,
-                                MismatchError, AnalysisException))
+    from ..lake.table import ConcurrentCommitError
+
+    if isinstance(exc, AnalysisException):
+        return False  # plan/schema-shaped: retrying re-runs the same analysis
+    if isinstance(exc, (ConcurrentCommitError, OSError)):
+        return True
+    try:
+        from py4j.protocol import Py4JError
+
+        if isinstance(exc, Py4JError):
+            return True  # JVM-side job failure: presumed IO-shaped
+    except ImportError:
+        pass
+    try:
+        from pyspark.errors.exceptions.captured import CapturedException
+
+        if isinstance(exc, CapturedException):
+            return True  # non-analysis JVM exception surfaced via Spark
+    except ImportError:
+        pass
+    return False
 
 
 @dataclass
@@ -229,15 +253,12 @@ class ChangeApplier:
                 perm = changes.where(
                     ~F.coalesce(F.expr(self.route_sql), F.lit(False))
                 )
-                self.retry.run(lambda: self.ephemeral_table.merge(
-                    eph, epoch_id=epoch_id, deduped=True, writer_id=self.writer_id))
-                stats = self.retry.run(lambda: self.table.merge(
-                    perm, epoch_id=epoch_id, deduped=True, writer_id=self.writer_id))
+                self._merge_sink(self.ephemeral_table, eph, epoch_id)
+                stats = self._merge_sink(self.table, perm, epoch_id)
             finally:
                 changes.unpersist()
         else:
-            stats = self.retry.run(lambda: self.table.merge(
-                changes, epoch_id=epoch_id, deduped=True, writer_id=self.writer_id))
+            stats = self._merge_sink(self.table, changes, epoch_id)
         per_bucket = stats.pop("per_bucket", [])
 
         try:
@@ -269,6 +290,43 @@ class ChangeApplier:
                     stats["compacted_buckets"] = hot
         stats["rows_quarantined"] = n_quarantined
         return stats
+
+    def _merge_sink(self, tbl: TranscriptTable, changes: DataFrame,
+                    epoch_id: int) -> dict:
+        """Retry-wrapped merge with a DEGRADE ladder: when the full-width
+        write keeps failing retriably even after the backoff budget, retry
+        at progressively lower write parallelism (half, quarter, ..., serial)
+        before surfacing — the reference's adaptive fallback to fewer
+        workers / serial tick processing on repeated batch error
+        (status-service/sync/tick_processor.go:163).  Resource-pressure
+        failures (executor OOM, too many concurrent writers on one store)
+        often clear when the write narrows; semantic failures stay terminal
+        at every width.  Each attempt is a fresh commit dir, so abandoned
+        attempts are vacuum-collected orphans — never a partial commit."""
+        def attempt(wp=None):
+            return tbl.merge(changes, epoch_id=epoch_id, deduped=True,
+                             writer_id=self.writer_id, write_parallelism=wp)
+
+        try:
+            return self.retry.run(attempt)
+        except Exception as exc:  # noqa: BLE001 — classified below
+            if not self.retry.is_retriable(exc):
+                raise
+            last = exc
+            width = max(1, tbl.n_buckets // 2)
+            while True:
+                try:
+                    out = attempt(width)
+                    out["degraded_write_parallelism"] = width
+                    return out
+                except Exception as exc2:  # noqa: BLE001
+                    if not self.retry.is_retriable(exc2):
+                        raise
+                    last = exc2
+                if width == 1:
+                    break
+                width = max(1, width // 2)
+            raise last
 
     def _quarantine_marker(self, epoch_id: int) -> str:
         return f"{self.quarantine_dir}/_epoch-{int(epoch_id):012d}.done"

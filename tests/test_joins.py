@@ -101,3 +101,31 @@ def test_asof_join_ignores_null_ts_dim_rows(spark):
     )
     got = asof_join(facts, dim, "k", "ts", ["attr"]).collect()
     assert len(got) == 1 and got[0].attr is None
+
+
+def test_salted_join_discriminator_spreads_duplicate_rows(spark):
+    """ADVICE r2: content-hash salting lands exact-duplicate rows on one
+    salt; a discriminator column restores the spread deterministically."""
+    from go_data_publisher_spark.operators.joins import salted_join
+    from pyspark.sql import functions as F
+
+    # 1000 EXACT duplicates of one hot row, plus a unique discriminator
+    big = (spark.range(1000)
+           .select(F.lit("hot").alias("k"), F.lit("same").alias("payload"),
+                   F.col("id").alias("row_id")))
+    small = spark.createDataFrame([("hot", 1)], "k string, dim int")
+
+    content_salts = big.withColumn(
+        "__salt", F.pmod(F.xxhash64("k", "payload"), F.lit(8)).cast("int")
+    ).select("__salt").distinct().count()
+    assert content_salts == 1  # the documented limitation, demonstrated
+
+    out = salted_join(big, small, on="k", n_salts=8, discriminator="row_id")
+    assert out.count() == 1000
+    disc_salts = big.withColumn(
+        "__salt", F.pmod(F.xxhash64("row_id"), F.lit(8)).cast("int")
+    ).select("__salt").distinct().count()
+    assert disc_salts == 8  # duplicates now spread over every salt
+    # determinism: same discriminator -> same salt on recomputation
+    a = salted_join(big, small, on="k", n_salts=8, discriminator="row_id")
+    assert a.count() == 1000

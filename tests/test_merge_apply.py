@@ -280,3 +280,99 @@ def test_skipped_keys_empty_on_clean_run(spark, tmpdir_path):
                "and op in ('I', 'U', 'D')")
     app.apply_batch(log, epoch_id=0)
     assert app.skipped_keys().count() == 0
+
+
+def test_degrade_to_serial_on_persistent_failure(spark, tmpdir_path):
+    """Reference's adaptive worker fallback (status-service/sync/
+    tick_processor.go:163): after the retry budget is exhausted on a
+    retriable error, the applier re-attempts the merge at halved write
+    parallelism down to serial; a resource-pressure failure that clears
+    when the write narrows completes with exactly-once state."""
+    from go_data_publisher_spark.streaming.apply import RetryPolicy
+
+    tbl = TranscriptTable(spark, f"{tmpdir_path}/tbl", n_buckets=4)
+    real_merge = tbl.merge
+    calls = {"n": 0, "widths": []}
+
+    def pressured_merge(*a, **kw):
+        calls["n"] += 1
+        calls["widths"].append(kw.get("write_parallelism"))
+        if kw.get("write_parallelism") is None or kw["write_parallelism"] > 2:
+            raise OSError("simulated persistent resource-pressure failure")
+        return real_merge(*a, **kw)
+
+    tbl.merge = pressured_merge
+    app = ChangeApplier(tbl, retry=RetryPolicy(max_attempts=2, base_delay=0.01))
+    stats = app.apply_batch(
+        spark.createDataFrame(
+            [(1, "I", "c1", 0, "user", "hi", None, None, 1),
+             (2, "I", "c2", 0, "user", "yo", None, None, 1)], SCHEMA9),
+        epoch_id=0,
+    )
+    assert stats["status"] == "committed"
+    assert stats["degraded_write_parallelism"] == 2
+    # 2 full-width retry attempts, then the first ladder step succeeded
+    assert calls["widths"] == [None, None, 2]
+    assert tbl.snapshot().count() == 2
+    # exactly-once: the committed epoch replays as a no-op
+    tbl.merge = real_merge
+    assert app.apply_batch(
+        spark.createDataFrame([(1, "I", "c1", 0, "user", "hi", None, None, 1)],
+                              SCHEMA9), epoch_id=0)["status"] == "skipped_replay"
+
+
+def test_degrade_ladder_stays_terminal_on_semantic_failure(spark, tmpdir_path):
+    """A non-retriable failure mid-ladder surfaces immediately — degradation
+    must not turn a schema conflict into 5 slower schema conflicts."""
+    import pytest
+
+    from go_data_publisher_spark.streaming.apply import RetryPolicy
+
+    tbl = TranscriptTable(spark, f"{tmpdir_path}/tbl", n_buckets=4)
+    calls = {"n": 0}
+
+    def failing_merge(*a, **kw):
+        calls["n"] += 1
+        if kw.get("write_parallelism") is None:
+            raise OSError("transient-shaped")
+        raise ValueError("semantic failure exposed at degraded width")
+
+    tbl.merge = failing_merge
+    app = ChangeApplier(tbl, retry=RetryPolicy(max_attempts=2, base_delay=0.01))
+    with pytest.raises(ValueError):
+        app.apply_batch(
+            spark.createDataFrame([(1, "I", "c1", 0, "user", "x", None, None, 1)],
+                                  SCHEMA9), epoch_id=0)
+    assert calls["n"] == 3  # 2 full-width attempts + 1 ladder step, then stop
+
+
+def test_retriability_is_a_whitelist(spark, tmpdir_path):
+    """ADVICE r2: permanent failures that happen to be RuntimeErrors (the
+    epoch-gap guard) must not burn the backoff budget; only the whitelisted
+    transient shapes retry."""
+    from go_data_publisher_spark.lake.table import ConcurrentCommitError
+    from go_data_publisher_spark.streaming.apply import MismatchError, RetryPolicy
+
+    p = RetryPolicy()
+    assert p.is_retriable(ConcurrentCommitError("lost race"))
+    assert p.is_retriable(OSError("io"))
+    assert p.is_retriable(ConnectionError("net"))
+    assert not p.is_retriable(RuntimeError("epoch id space has a permanent gap"))
+    assert not p.is_retriable(ValueError("incompatible schema change"))
+    assert not p.is_retriable(MismatchError("strict"))
+
+
+def test_merge_serial_write_parallelism_is_correct(spark, tmpdir_path):
+    """write_parallelism=1 (the ladder's floor) produces the same committed
+    state and keeps one file pair per bucket."""
+    tbl = TranscriptTable(spark, f"{tmpdir_path}/tbl", n_buckets=4)
+    df = spark.createDataFrame(
+        [(i, "I", f"c{i}", 0, "user", f"t{i}", None, None, 1) for i in range(20)],
+        SCHEMA9)
+    out = tbl.merge(df, epoch_id=0, write_parallelism=1)
+    assert out["status"] == "committed"
+    assert tbl.snapshot().count() == 20
+    per_bucket_files = {}
+    for f in tbl.manifest()["files"]:
+        per_bucket_files[f["bucket"]] = per_bucket_files.get(f["bucket"], 0) + 1
+    assert all(n <= 2 for n in per_bucket_files.values())

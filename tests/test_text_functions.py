@@ -132,3 +132,38 @@ def test_simhash_vectorized_matches_expression_form(spark):
         simhash64_expr(F.col("text")).alias("ref"),
     )
     assert both.where("fast <> ref").count() == 0
+
+
+def test_wire_roundtrip_non_ascii_and_multiline(spark):
+    """JSON escaping parity with the reference consumer's unmarshal tests
+    (transactions-consumer/consume/marshalling_test.go:12-37): non-ASCII,
+    emoji, multiline, quotes/backslashes, and control characters must
+    survive to_wire -> from_wire byte-exactly, and from_wire must accept
+    Go-marshaller-style \\uXXXX-escaped input (encoding/json HTML-escapes
+    <, >, & as \\u003c \\u003e \\u0026)."""
+    nasty = [
+        "héllo wörld — ünïcode",
+        "日本語のテキストと絵文字 🎉🚀",
+        "line one\nline two\r\nline three\ttabbed",
+        'quotes "inside" and \\backslashes\\ and /slashes/',
+        "html <tag> & ampersand",
+        "nul-adjacent \x01\x02 control chars",
+        "ℤ𝔼𝕊𝕋 surrogate-pair math 𝒜𝓑𝖈",
+    ]
+    rows = [(i, "I", f"c{i}", 0, "user", t, None, None, 1) for i, t in enumerate(nasty)]
+    schema = ("lsn long, op string, conv_id string, turn_idx int, role string, "
+              "text string, tool string, ts timestamp, schema_version int")
+    df = spark.createDataFrame(rows, schema)
+    back = from_wire(to_wire(df), schema=df.schema)
+    got = {r["lsn"]: r["text"] for r in back.collect()}
+    for i, t in enumerate(nasty):
+        assert got[i] == t, f"row {i} mangled: {got[i]!r}"
+
+    # Go-marshaller-shaped input: HTML-escaped and \uXXXX unicode escapes
+    go_value = ('{"lsn": 42, "op": "I", "conv_id": "c42", "turn_idx": 0, '
+                '"role": "user", "text": "a \\u003ctag\\u003e \\u0026 '
+                '\\u65e5\\u672c\\u8a9e \\nnewline", "schema_version": 1}')
+    wire = spark.createDataFrame([(b"c42", go_value)], "key binary, value string")
+    decoded = from_wire(wire, schema=df.schema).first()
+    assert decoded["text"] == "a <tag> & 日本語 \nnewline"
+    assert decoded["lsn"] == 42

@@ -215,3 +215,38 @@ def test_ivf_multiprobe_parity_with_lsh(spark, vectors, tmpdir_path):
     assert [r.vec_id for r in ivf] == [r.vec_id for r in lsh]
     with pytest.raises(ValueError):
         S.ann_topk_lsh(vectors, q, k=5, n_planes=4, multiprobe_hamming=3)
+
+
+def test_ann_three_path_parity_and_bucketed_fast_path(spark, vectors, tmpdir_path):
+    """VERDICT r2 #6: one-shot LSH, precomputed-bucket frame, and IVF layout
+    must return identical results for the same parameters — and the bucketed
+    frame path must not re-hash the corpus (no plane derivation in its plan)."""
+    q = vectors.where("vec_id = 0").first()["embedding"]
+    one_shot = S.ann_topk_lsh(vectors, q, k=5, n_planes=4, multiprobe_hamming=1).collect()
+
+    # materialize the prepared frame (the point of the fast path: hash once,
+    # serve many queries) — an unmaterialized bucketize would just inline
+    S.bucketize(vectors, n_planes=4).write.mode("overwrite") \
+        .parquet(f"{tmpdir_path}/prepared")
+    prepared = spark.read.parquet(f"{tmpdir_path}/prepared")
+    bucketed = S.ann_topk_lsh(prepared, q, k=5, n_planes=4,
+                              multiprobe_hamming=1, bucket_col="bucket")
+    S.write_ivf_index(vectors, f"{tmpdir_path}/ivf3", n_planes=4)
+    ivf = S.ann_topk_ivf(spark, f"{tmpdir_path}/ivf3", q, k=5, n_planes=4,
+                         multiprobe_hamming=1).collect()
+
+    assert [r.vec_id for r in one_shot] == [r.vec_id for r in bucketed.collect()] \
+        == [r.vec_id for r in ivf]
+
+    # fast path: the candidate filter uses the stored column — the plan has
+    # no xxhash64 plane derivation (the one-shot plan does)
+    bucketed_plan = bucketed._jdf.queryExecution().executedPlan().toString()
+    one_shot_plan = S.ann_topk_lsh(
+        vectors, q, k=5, n_planes=4, multiprobe_hamming=1
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" not in bucketed_plan
+    assert "xxhash64" in one_shot_plan
+
+    import pytest
+    with pytest.raises(ValueError, match="bucketize"):
+        S.ann_topk_lsh(vectors, q, k=5, n_planes=4, bucket_col="missing")
