@@ -210,6 +210,27 @@ JSON).  Measured ratio ≈ **0.9–1.0**: commit cost is O(batch), independent
 of table size — the property that keeps a CDC tail alive at 100 TB (the
 round-1 copy-on-write design rewrote every touched bucket, making every
 commit O(table)).
+
+## Commit cost vs live-file count (manifest-delta evidence)
+
+`bench.py`'s `commit_metadata` section times the same small merge into
+tables whose manifests hold 100 vs 10,000 live file entries (preloaded
+through the same metadata path real commits use).  Measured ratio ≈
+**0.85–1.0**: a commit writes O(batch-files) manifest JSON (per-commit
+file-list deltas + a checkpoint every 20 versions), so metadata cost no
+longer grows with table file count — the round-2 design rewrote the full
+live-file list under the commit lock on every merge.
+
+## Table backend
+
+SURVEY.md §7: "Iceberg if the jar can be fetched, else mini-lake."  The
+Iceberg backend (`lake/iceberg.py`: hadoop-catalog warehouse, bucket
+partitioning, merge-on-read MERGE INTO, same contract surface) is
+implemented and its contract tests run whenever
+`iceberg_artifact_available()` — this sandbox has no network route to any
+Maven resolver and no ivy cache, so the run below used the **mini-lake**
+backend (whose manifest log now mirrors Iceberg's O(batch) commit-metadata
+shape; see `tests/test_iceberg_backend.py` for the shared contract).
 """
     with open("/root/repo/BENCH.md", "w") as f:
         f.write(md)

@@ -20,10 +20,76 @@ the reference (transaction_consumer.go:134-150).
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 from .. import schemas
 from .apply import ChangeApplier
+
+# The Kafka source's fixed output schema (Structured Streaming Kafka
+# integration guide) — what `.format("kafka").load()` yields and what
+# `decode_kafka_records` consumes.  Pinned here so the decode stage is
+# constructible and testable without a broker or the connector jar.
+KAFKA_SOURCE_SCHEMA = (
+    "key binary, value binary, topic string, partition int, offset long, "
+    "timestamp timestamp, timestampType int"
+)
+
+
+def kafka_reader(spark: SparkSession, bootstrap_servers: str, topic: str,
+                 max_offsets_per_trigger: int | None = None,
+                 starting_offsets: str = "earliest"):
+    """The production S6 source: a Structured Streaming Kafka reader with
+    the reference consumer's poll bounds (MaxPollRecords ≈
+    maxOffsetsPerTrigger, transactions-consumer/main.go:56).
+
+    Requires the spark-sql-kafka connector artifact on the classpath
+    (``--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<version>``);
+    raises a clear error naming it otherwise.  Compose with
+    `decode_kafka_records` for typed change events.
+    """
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", int(max_offsets_per_trigger))
+    try:
+        return reader.load()
+    except Exception as exc:  # connector jar absent → actionable message
+        if "kafka" in str(exc).lower():
+            raise RuntimeError(
+                "Kafka source unavailable: add the spark-sql-kafka-0-10 "
+                "artifact via --packages org.apache.spark:"
+                "spark-sql-kafka-0-10_2.13:<spark-version>"
+            ) from exc
+        raise
+
+
+def decode_kafka_records(raw: DataFrame, schema=None,
+                         key_is_le_uint32: bool = True) -> DataFrame:
+    """Kafka-source records → typed change events.
+
+    The consumer-side decode (transactions-consumer/consume/
+    transaction_consumer.go:112-116 json.Unmarshal + the LE-uint32 record
+    key of client.go:73-79): ``value`` is the JSON envelope, ``key`` the
+    4-byte little-endian tick.  Works on any frame with the Kafka source
+    schema — the streaming reader, or a static test frame — so the decode
+    stage composes and is verifiable without a broker.  The decoded key
+    rides along as ``__key_tick`` for key/value-consistency checks
+    (dropped by callers that don't need it)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.codecs import le_uint32_value
+
+    schema = schema or schemas.CHANGE_EVENT_SCHEMA
+    cols = [F.from_json(F.col("value").cast("string"), schema).alias("__r")]
+    head = []
+    if key_is_le_uint32:
+        cols.insert(0, le_uint32_value(F.col("key")).alias("__key_tick"))
+        head = ["__key_tick"]
+    return raw.select(*cols).select(*head, "__r.*")
 
 
 def run_stream(

@@ -1,0 +1,114 @@
+"""S5/S6 production form: the `.format("kafka")` reader + wire decode.
+
+No broker (or connector jar) ships in this sandbox, so these tests prove
+the documented swap COMPOSES: the decode stage is constructed against the
+Kafka source's canonical schema and validated end-to-end on static records,
+and the real reader builder is exercised as far as the environment allows
+(a jar-present environment constructs the streaming frame and checks its
+schema; a jar-absent one gets the actionable error path)."""
+
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from go_data_publisher_spark import schemas
+from go_data_publisher_spark.streaming.pipeline import (
+    KAFKA_SOURCE_SCHEMA,
+    decode_kafka_records,
+    kafka_reader,
+)
+
+
+def _kafka_connector_available(spark) -> bool:
+    try:
+        spark.readStream.format("kafka") \
+            .option("kafka.bootstrap.servers", "localhost:9") \
+            .option("subscribe", "t").load()
+        return True
+    except Exception as exc:
+        return "Failed to find data source" not in str(exc)
+
+
+def test_decode_composes_on_kafka_source_schema(spark):
+    """decode(from KAFKA_SOURCE_SCHEMA) == CHANGE_EVENT_SCHEMA + key tick —
+    the analyzed-schema assertion VERDICT r2 #5 asks for, broker-free."""
+    import json
+
+    ev = {"lsn": 7, "op": "I", "conv_id": "c7", "turn_idx": 0, "role": "user",
+          "text": "hello", "tool": None, "ts": None, "schema_version": 1}
+    rows = [(struct.pack("<I", 12345), json.dumps(ev).encode(), "transcripts",
+             0, 42, None, 0)]
+    raw = spark.createDataFrame(rows, KAFKA_SOURCE_SCHEMA)
+    out = decode_kafka_records(raw)
+
+    want = T.StructType(
+        [T.StructField("__key_tick", T.LongType(), True)]
+        + list(schemas.CHANGE_EVENT_SCHEMA.fields)
+    )
+    assert [(f.name, f.dataType) for f in out.schema.fields] \
+        == [(f.name, f.dataType) for f in want.fields]
+    r = out.first()
+    assert r["__key_tick"] == 12345  # LE-uint32 key parity (client.go:73-79)
+    assert r["conv_id"] == "c7" and r["lsn"] == 7 and r["text"] == "hello"
+
+
+def test_decode_without_numeric_key(spark):
+    raw = spark.createDataFrame(
+        [(b"c1", b'{"lsn": 1, "op": "U", "conv_id": "c1", "turn_idx": 2, '
+                 b'"role": "user", "text": "x", "schema_version": 1}',
+          "t", 0, 0, None, 0)],
+        KAFKA_SOURCE_SCHEMA,
+    )
+    out = decode_kafka_records(raw, key_is_le_uint32=False)
+    # from_json yields nullable fields — compare names + types
+    assert [(f.name, f.dataType) for f in out.schema.fields] \
+        == [(f.name, f.dataType) for f in schemas.CHANGE_EVENT_SCHEMA.fields]
+    assert out.first()["turn_idx"] == 2
+
+
+def test_kafka_reader_builder(spark):
+    """Exercise the real `.format(\"kafka\")` builder.  With the connector
+    jar present this constructs the streaming frame and pins its analyzed
+    schema (still no broker needed — load() is lazy); without it, the
+    builder must fail with the actionable --packages message, not an
+    obscure class-not-found."""
+    if _kafka_connector_available(spark):
+        raw = kafka_reader(spark, "localhost:9092", "transcripts",
+                           max_offsets_per_trigger=4096)
+        assert raw.isStreaming
+        got = {f.name: f.dataType.simpleString() for f in raw.schema.fields}
+        for name, typ in (("key", "binary"), ("value", "binary"),
+                          ("topic", "string"), ("partition", "int"),
+                          ("offset", "bigint")):
+            assert got[name] == typ
+        decoded = decode_kafka_records(raw)
+        assert decoded.isStreaming
+        assert [f.name for f in decoded.schema.fields] \
+            == ["__key_tick"] + [f.name for f in schemas.CHANGE_EVENT_SCHEMA.fields]
+    else:
+        with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+            kafka_reader(spark, "localhost:9092", "transcripts")
+
+
+def test_wire_batch_records_roundtrip_through_kafka_shape(spark):
+    """Producer → Kafka record shape → consumer decode is the identity on
+    the change event (S5 produce + S6 decode composed)."""
+    from go_data_publisher_spark.functions.codecs import to_wire_kafka
+
+    df = spark.createDataFrame(
+        [(5, "I", "c5", 1, "user", "héllo 🎉", None, None, 1)],
+        "lsn long, op string, conv_id string, turn_idx int, role string, "
+        "text string, tool string, ts timestamp, schema_version int",
+    )
+    # tick rides as the LE-uint32 key, the row as the JSON value
+    produced = to_wire_kafka(df.withColumn("tick", F.col("lsn")), "tick") \
+        .select("key", F.col("value").cast("binary").alias("value"),
+                F.lit("t").alias("topic"), F.lit(0).alias("partition"),
+                F.lit(0).cast("long").alias("offset"),
+                F.lit(None).cast("timestamp").alias("timestamp"),
+                F.lit(0).alias("timestampType"))
+    back = decode_kafka_records(produced, schema=df.schema)
+    r = back.first()
+    assert r["__key_tick"] == 5 and r["text"] == "héllo 🎉" and r["conv_id"] == "c5"
