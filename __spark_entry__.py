@@ -409,6 +409,59 @@ SQL_ROUTE_FILTER = """
 """
 
 
+def q_route_patch(spark, sf_dir):
+    """F2: the hard-coded corrupt-range rewrite (null-out payload of a
+    known-bad (epoch, lsn) window, status-service/sync/tick_processor.go:
+    210-214), applied to the events fixture — epoch 7's 7200..7400 window
+    loses its props payload (~200 affected rows; every row returned)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "epoch", F.floor(F.col("event_id") / 1000)
+    )
+    patched = R.patch_corrupt_range(
+        ev, epoch_col="epoch", lsn_col="event_id",
+        lo=7200, hi=7400, bad_epoch=7, null_cols=("props",),
+    )
+    return patched.select("event_id", "props")
+
+
+SQL_ROUTE_PATCH = """
+  SELECT event_id,
+         CASE WHEN event_id // 1000 = 7 AND event_id BETWEEN 7200 AND 7400
+              THEN NULL ELSE props END AS props
+  FROM events
+"""
+
+
+def q_batch_stats(spark, sf_dir):
+    """A5: batch/throughput counters ridden on the scan as an Observation
+    (zero extra jobs — the reference's prometheus bulk-indexer stats,
+    transactions-consumer/extern/elastic_client.go:64-79), surfaced as a
+    1-row frame so the DuckDB twin can hash-check the observed values."""
+    import uuid
+
+    from pyspark.sql import Observation
+
+    obs = Observation(f"batch_stats_{uuid.uuid4().hex[:8]}")
+    ev = _t(spark, sf_dir, "events").observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.min("event_id").alias("lsn_min"),
+        F.max("event_id").alias("lsn_max"),
+    )
+    ev.write.format("noop").mode("overwrite").save()  # the batch pass
+    m = obs.get
+    return spark.createDataFrame(
+        [(int(m["rows"]), int(m["lsn_min"]), int(m["lsn_max"]))],
+        "n_rows long, lsn_min long, lsn_max long",
+    )
+
+
+SQL_BATCH_STATS = """
+  SELECT count(*) AS n_rows, min(event_id) AS lsn_min, max(event_id) AS lsn_max
+  FROM events
+"""
+
+
 # ---------------------------------------------------------------------------
 # verification family (V1/V5)
 # ---------------------------------------------------------------------------
@@ -883,6 +936,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monotonicity": q_monotonicity,
         "interval_trim": q_interval_trim,
         "route_filter": q_route_filter,
+        "route_patch": q_route_patch,
+        "batch_stats": q_batch_stats,
         "set_difference": q_set_difference,
         "count_equality": q_count_equality,
         "dedup_exact_docs": q_dedup_exact_docs,
@@ -927,6 +982,8 @@ def oracle_sql() -> dict[str, str]:
         "monotonicity": SQL_MONOTONICITY,
         "interval_trim": SQL_INTERVAL_TRIM,
         "route_filter": SQL_ROUTE_FILTER,
+        "route_patch": SQL_ROUTE_PATCH,
+        "batch_stats": SQL_BATCH_STATS,
         "set_difference": SQL_SET_DIFFERENCE,
         "count_equality": SQL_COUNT_EQUALITY,
         "dedup_exact_docs": SQL_DEDUP_EXACT_DOCS,
