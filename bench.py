@@ -204,14 +204,17 @@ def bench_commit_metadata(spark, small_batch: int = 5_000,
                     for i in range(chunk)])
                 added += chunk
 
+        reps = max(REPEATS, 3)
+
         def timed(tbl, epoch0):
-            # fresh epoch ids per call: a reused id hits the replay guard and
-            # measures a no-op
+            # fresh epoch ids per call (disjoint ranges of width `reps`): a
+            # reused id hits the replay guard and measures a no-op
             app = ChangeApplier(tbl)
             best = float("inf")
-            for rep in range(max(REPEATS, 3)):
+            for rep in range(reps):
                 t0 = time.perf_counter()
-                app.apply_batch(small, epoch_id=epoch0 + rep)
+                stats = app.apply_batch(small, epoch_id=epoch0 + rep)
+                assert stats["status"] == "committed", stats
                 best = min(best, time.perf_counter() - t0)
             return best
 
@@ -220,7 +223,7 @@ def bench_commit_metadata(spark, small_batch: int = 5_000,
         t_many = TranscriptTable(spark, f"{root}/many", n_buckets=32)
         preload(t_many, many_files)
         timed(t_few, 0)  # warm-up pipeline shape once, outside the compared pair
-        s_few = timed(t_few, 10)
+        s_few = timed(t_few, reps)
         s_many = timed(t_many, 0)
         small.unpersist()
         return {

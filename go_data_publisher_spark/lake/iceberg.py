@@ -102,7 +102,12 @@ class IcebergTable:
     bucket(n, key0) (co-locating each key's rows for the MERGE), writes are
     merge-on-read (`write.merge.mode=merge-on-read` → positional delete
     files, commit cost O(batch)), and the MERGE conditions encode the
-    LSN-guarded widen-or-ignore upsert.
+    LSN-guarded widen-or-ignore upsert.  Deletes are TOMBSTONES (a retained
+    ``__op='D'`` row), exactly like the mini-lake's fold: a physically
+    MERGE-DELETEd row would be resurrected by a redelivered lower-LSN upsert
+    under a fresh epoch (NOT MATCHED → INSERT), because no stored row
+    remains to win the LSN comparison.  `snapshot()` filters tombstones;
+    `expire_tombstones()` drops them below a replay low-watermark.
     """
 
     def __init__(self, spark, name: str, n_buckets: int = 16,
@@ -118,18 +123,20 @@ class IcebergTable:
             f"{f.name} {f.dataType.simpleString()}" for f in schemas.TRANSCRIPT_SCHEMA
         )
         spark.sql(
-            f"CREATE TABLE IF NOT EXISTS {self.name} ({ddl}) USING iceberg "
+            f"CREATE TABLE IF NOT EXISTS {self.name} ({ddl}, __op string) "
+            f"USING iceberg "
             f"PARTITIONED BY (bucket({n_buckets}, {self.key[0]})) "
             f"TBLPROPERTIES ("
             f"  'write.merge.mode'='merge-on-read',"
             f"  'write.update.mode'='merge-on-read',"
             f"  'write.delete.mode'='merge-on-read',"
             f"  'format-version'='2',"
-            f"  'cdc.epoch.hwm'='-1',"
             f"  'cdc.cursor.lsn'='-1')"
         )
 
-    # -- epoch guard (fast-path skip; correctness rides the LSN guard) ------
+    # -- epoch guard: hwm + out-of-order recent set, the mini-lake's exact
+    # bounded fold (an hwm-only guard would mark every epoch below an
+    # out-of-order arrival committed and silently drop the late ones) ------
 
     def _prop(self, key: str) -> str | None:
         rows = self.spark.sql(f"SHOW TBLPROPERTIES {self.name}").collect()
@@ -138,21 +145,42 @@ class IcebergTable:
                 return r["value"]
         return None
 
+    def _epoch_props(self, writer_id: str) -> tuple[str, str]:
+        sfx = "" if writer_id == "default" else f".{writer_id}"
+        return f"cdc.epoch.hwm{sfx}", f"cdc.epoch.recent{sfx}"
+
+    def _epoch_state(self, writer_id: str) -> tuple[int, set]:
+        import json as _json
+
+        hwm_p, rec_p = self._epoch_props(writer_id)
+        hwm = int(self._prop(hwm_p) or -1)
+        recent = set(_json.loads(self._prop(rec_p) or "[]"))
+        return hwm, recent
+
     def is_epoch_committed(self, epoch_id: int, writer_id: str = "default") -> bool:
-        prop = f"cdc.epoch.hwm.{writer_id}" if writer_id != "default" else "cdc.epoch.hwm"
-        v = self._prop(prop)
-        return v is not None and int(epoch_id) <= int(v)
+        hwm, recent = self._epoch_state(writer_id)
+        return int(epoch_id) <= hwm or int(epoch_id) in recent
 
     def cursor_lsn(self) -> int:
         return int(self._prop("cdc.cursor.lsn") or -1)
 
     @property
     def schema(self):
-        return self.spark.table(self.name).schema
+        from pyspark.sql import types as T
+
+        return T.StructType(
+            [f for f in self.spark.table(self.name).schema.fields if f.name != "__op"]
+        )
 
     def evolve_schema(self, batch_schema) -> bool:
-        """ALTER TABLE ADD COLUMNS / ALTER COLUMN TYPE — Iceberg enforces the
-        same value-preserving promotion rules the mini-lake implements."""
+        """ALTER TABLE ADD COLUMNS / widening ALTER COLUMN TYPE — the same
+        value-preserving promotion rules as the mini-lake (`table._widen`):
+        a batch column NARROWER than the table's is a no-op (old rows cast
+        up at scan time), an incompatible change raises, and key columns
+        never change type (Iceberg's bucket transform would re-hash them
+        into different partitions)."""
+        from .table import _widen
+
         cur = {f.name: f for f in self.schema.fields}
         changed = False
         for f in batch_schema.fields:
@@ -162,10 +190,21 @@ class IcebergTable:
                     f"{f.name} {f.dataType.simpleString()}"
                 )
                 changed = True
-            elif cur[f.name].dataType != f.dataType:
+                continue
+            w = _widen(cur[f.name].dataType, f.dataType)
+            if w is None:
+                raise ValueError(
+                    f"incompatible schema change for column {f.name}: "
+                    f"{cur[f.name].dataType} vs {f.dataType}"
+                )
+            if w != cur[f.name].dataType:
+                if f.name in self.key:
+                    raise ValueError(
+                        f"type change on key column {f.name} is not allowed"
+                    )
                 self.spark.sql(
                     f"ALTER TABLE {self.name} ALTER COLUMN {f.name} "
-                    f"TYPE {f.dataType.simpleString()}"
+                    f"TYPE {w.simpleString()}"
                 )
                 changed = True
         return changed
@@ -176,47 +215,76 @@ class IcebergTable:
               deduped: bool = False, writer_id: str = "default",
               write_parallelism: int | None = None) -> dict:
         """The D1/D5 upsert as native MERGE INTO (the SQL the mini-lake's
-        docstring quotes, executed by Iceberg's merge-on-read writer)."""
+        docstring quotes, executed by Iceberg's merge-on-read writer).
+
+        Deletes become ``__op='D'`` TOMBSTONE rows (UPDATE/INSERT, never
+        MERGE DELETE): the stored tombstone's order value keeps beating
+        redelivered lower-LSN changes, which is what makes re-applying any
+        previously-applied batch a no-op in effect."""
+        import json as _json
+        import uuid
+
         if self.is_epoch_committed(epoch_id, writer_id):
             return {"status": "skipped_replay", "epoch_id": epoch_id}
         if not deduped:
             from ..operators.dedup import last_wins
 
             changes = last_wins(changes, key=self.key, order=(self.order_col,))
-        changes.createOrReplaceTempView("__cdc_batch")
-        on = " AND ".join(f"t.{k} = s.{k}" for k in self.key)
-        cols = [f.name for f in self.schema.fields]
-        src_cols = set(changes.columns)
-        ins_cols = [c for c in cols if c in src_cols]
-        self.spark.sql(
-            f"MERGE INTO {self.name} t USING __cdc_batch s ON {on} "
-            f"WHEN MATCHED AND s.{self.order_col} >= t.{self.order_col} "
-            f"  AND s.op = 'D' THEN DELETE "
-            f"WHEN MATCHED AND s.{self.order_col} >= t.{self.order_col} "
-            f"  THEN UPDATE SET "
-            + ", ".join(f"t.{c} = s.{c}" for c in ins_cols)
-            + f" WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT ({', '.join(ins_cols)}) "
-            f"VALUES ({', '.join('s.' + c for c in ins_cols)})"
-        )
+        # unique per-merge view name: a fixed name would let two interleaved
+        # merges on one session consume each other's batch
+        view = f"__cdc_batch_{uuid.uuid4().hex[:12]}"
+        changes.createOrReplaceTempView(view)
+        try:
+            on = " AND ".join(f"t.{k} = s.{k}" for k in self.key)
+            cols = [f.name for f in self.schema.fields]
+            src_cols = set(changes.columns)
+            ins_cols = [c for c in cols if c in src_cols]
+            set_all = ", ".join(f"t.{c} = s.{c}" for c in ins_cols)
+            self.spark.sql(
+                f"MERGE INTO {self.name} t USING {view} s ON {on} "
+                f"WHEN MATCHED AND s.{self.order_col} >= t.{self.order_col} "
+                f"  THEN UPDATE SET {set_all}, t.__op = s.op "
+                f"WHEN NOT MATCHED THEN "
+                f"  INSERT ({', '.join(ins_cols)}, __op) "
+                f"  VALUES ({', '.join('s.' + c for c in ins_cols)}, s.op)"
+            )
+        finally:
+            self.spark.catalog.dropTempView(view)
         if batch_max_lsn is None:
             row = changes.selectExpr(f"max({self.order_col}) m").first()
             batch_max_lsn = row["m"]
-        prop = f"cdc.epoch.hwm.{writer_id}" if writer_id != "default" else "cdc.epoch.hwm"
+        hwm, recent = self._epoch_state(writer_id)
+        recent = recent | {int(epoch_id)}
+        while hwm + 1 in recent:
+            hwm += 1
+            recent.discard(hwm)
         cursor = max(self.cursor_lsn(),
                      int(batch_max_lsn) if batch_max_lsn is not None else -1)
+        hwm_p, rec_p = self._epoch_props(writer_id)
         # property update is a separate catalog commit (not atomic with the
         # MERGE) — safe because replaying the MERGE is a no-op in effect
         # under the LSN guard; the property is only the fast-path skip
         self.spark.sql(
             f"ALTER TABLE {self.name} SET TBLPROPERTIES "
-            f"('{prop}'='{int(epoch_id)}', 'cdc.cursor.lsn'='{cursor}')"
+            f"('{hwm_p}'='{hwm}', '{rec_p}'='{_json.dumps(sorted(recent))}', "
+            f"'cdc.cursor.lsn'='{cursor}')"
         )
         return {"status": "committed", "epoch_id": epoch_id}
 
     def snapshot(self, version: int | None = None):
-        if version is not None:
-            return self.spark.read.option("snapshot-id", version).table(self.name)
-        return self.spark.table(self.name)
+        df = (self.spark.read.option("snapshot-id", version).table(self.name)
+              if version is not None else self.spark.table(self.name))
+        # tombstones are storage, not state — same contract as the
+        # mini-lake's fold-then-filter
+        return df.where("__op IS NULL OR __op <> 'D'").drop("__op")
+
+    def expire_tombstones(self, below: int) -> None:
+        """Drop delete tombstones whose order value is below a caller-supplied
+        replay low-watermark (mini-lake's compact(drop_tombstones_below))."""
+        self.spark.sql(
+            f"DELETE FROM {self.name} WHERE __op = 'D' "
+            f"AND {self.order_col} < {int(below)}"
+        )
 
     def history(self):
         return [

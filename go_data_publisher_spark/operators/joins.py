@@ -37,8 +37,11 @@ def salted_join(
     LIMITATION of the default content-hash salt: rows with identical content
     all hash to ONE salt, so a skew caused by exact-duplicate rows is not
     spread.  When the big side has (or may have) duplicate rows, pass a
-    ``discriminator`` column that varies across those duplicates (a
-    monotonically-increasing id, an offset, a source partition/lsn) — it is
+    ``discriminator`` column that varies across those duplicates — a STORED
+    stable column only (an offset, an lsn, a source-assigned row id), never
+    one computed at runtime like ``monotonically_increasing_id()``, whose
+    values change when map tasks are recomputed and would reintroduce the
+    exact zero-or-twice corruption the deterministic salt prevents.  It is
     mixed into the salt hash, restoring the spread while keeping the salt
     deterministic under task retry.
     """

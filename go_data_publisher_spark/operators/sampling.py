@@ -75,8 +75,13 @@ def _quota_split(df: DataFrame, group_cols: list, quota: int, key_col: str,
 
     The join of rows to bucket counts keys on (group, prefix), so even its
     shuffle splits a skewed group 16^prefix_len ways.
+
+    NULL handling matches the single-window form exactly: a NULL key hashes
+    to the empty string (sorting FIRST, as the window's nulls-first ordering
+    did), and NULL group values form their own capped group — the count join
+    is null-safe, so neither is silently dropped.
     """
-    h = _hash_hex(key_col, salt)
+    h = F.coalesce(_hash_hex(key_col, salt), F.lit(""))
     rows = (df.withColumn("__qh", h)
               .withColumn("__qpfx", F.substring("__qh", 1, prefix_len)))
     counts = rows.groupBy(*group_cols, "__qpfx").agg(F.count(F.lit(1)).alias("__c"))
@@ -84,8 +89,15 @@ def _quota_split(df: DataFrame, group_cols: list, quota: int, key_col: str,
             .rowsBetween(Window.unboundedPreceding, -1))
     counts = counts.withColumn(
         "__below", F.coalesce(F.sum("__c").over(wcum), F.lit(0)).cast("long")
+    ).select(
+        *[F.col(c).alias(f"__g_{c}") for c in group_cols],
+        F.col("__qpfx").alias("__g_qpfx"), "__c", "__below",
     )
-    joined = rows.join(counts, on=group_cols + ["__qpfx"], how="inner")
+    cond = F.col("__qpfx") == F.col("__g_qpfx")  # never null (coalesced hash)
+    for c in group_cols:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__g_{c}"))
+    joined = rows.join(counts, on=cond, how="inner") \
+        .drop("__g_qpfx", *[f"__g_{c}" for c in group_cols])
     keep_all = joined.where(F.col("__below") + F.col("__c") <= quota)
     wb = Window.partitionBy(*group_cols).orderBy("__qh")
     boundary = (

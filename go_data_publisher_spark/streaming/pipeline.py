@@ -57,8 +57,11 @@ def kafka_reader(spark: SparkSession, bootstrap_servers: str, topic: str,
         reader = reader.option("maxOffsetsPerTrigger", int(max_offsets_per_trigger))
     try:
         return reader.load()
-    except Exception as exc:  # connector jar absent → actionable message
-        if "kafka" in str(exc).lower():
+    except Exception as exc:
+        # ONLY the connector-jar-missing shape gets rewritten into the
+        # actionable message; genuine config errors (bad options with the
+        # jar present) must surface as themselves
+        if "Failed to find data source" in str(exc):
             raise RuntimeError(
                 "Kafka source unavailable: add the spark-sql-kafka-0-10 "
                 "artifact via --packages org.apache.spark:"

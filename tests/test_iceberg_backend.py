@@ -25,6 +25,12 @@ Contract exercised per backend:
  3. a stale (lower-LSN) change loses to the stored row
  4. a delete removes the row and survives replay of an older update
  5. schema evolution adds a column without rewriting old rows
+ 6. a redelivered lower-LSN upsert under a FRESH epoch does not resurrect
+    a deleted key (tombstone retention)
+ 7. an out-of-order epoch arrival does not mark the skipped epochs
+    committed (hwm + recent-set fold, not hwm-only)
+ 8. a batch column narrower than the table's is a no-op, not a narrowing
+    ALTER
 """
 
 
@@ -57,6 +63,26 @@ def _contract_minilake(spark, root):
     tbl.merge(evolved, epoch_id=3)
     row = tbl.snapshot().where(F.col("conv_id") == "c2").first()
     assert row["note"] == "extra"                                           # 5
+    # 6: redelivered lower-LSN upsert under a FRESH epoch after the delete
+    tbl.merge(spark.createDataFrame(
+        [(11, "U", "c1", 0, "user", "v2", None, None, 1)], SCHEMA), epoch_id=4)
+    assert tbl.snapshot().where(F.col("conv_id") == "c1").count() == 0
+    # 7: out-of-order epoch arrival — 6 commits before 5; 5 must still apply
+    tbl.merge(spark.createDataFrame(
+        [(40, "I", "c3", 0, "user", "late-epoch", None, None, 1)], SCHEMA),
+        epoch_id=6)
+    assert not tbl.is_epoch_committed(5)
+    r5 = tbl.merge(spark.createDataFrame(
+        [(41, "I", "c4", 0, "user", "filled-gap", None, None, 1)], SCHEMA),
+        epoch_id=5)
+    assert r5["status"] == "committed"
+    assert tbl.snapshot().where("conv_id in ('c3','c4')").count() == 2
+    assert tbl.is_epoch_committed(5) and tbl.is_epoch_committed(6)
+    # 8: a narrower batch column (int vs long lsn) is a no-op
+    import pyspark.sql.types as T
+    narrow = T.StructType([T.StructField("lsn", T.IntegerType(), True)])
+    assert tbl.evolve_schema(narrow) is False
+    assert dict((f.name, f.dataType) for f in tbl.schema.fields)["lsn"] == T.LongType()
 
 
 def test_contract_minilake(spark, tmpdir_path):
@@ -93,6 +119,24 @@ _ICEBERG_SELFTEST = textwrap.dedent("""
     tbl.evolve_schema(evolved.drop("op").schema)
     tbl.merge(evolved, epoch_id=3)
     assert tbl.snapshot().where("conv_id = 'c2'").first()["note"] == "extra"
+    # 6: tombstone retention — redelivered lower-LSN upsert, fresh epoch
+    tbl.merge(spark.createDataFrame(
+        [(11, "U", "c1", 0, "user", "v2", None, None, 1)], SCHEMA), epoch_id=4)
+    assert tbl.snapshot().where("conv_id = 'c1'").count() == 0
+    # 7: out-of-order epochs — 6 before 5; 5 must still apply
+    tbl.merge(spark.createDataFrame(
+        [(40, "I", "c3", 0, "user", "late-epoch", None, None, 1)], SCHEMA),
+        epoch_id=6)
+    assert not tbl.is_epoch_committed(5)
+    assert tbl.merge(spark.createDataFrame(
+        [(41, "I", "c4", 0, "user", "filled-gap", None, None, 1)], SCHEMA),
+        epoch_id=5)["status"] == "committed"
+    assert tbl.snapshot().where("conv_id in ('c3','c4')").count() == 2
+    assert tbl.is_epoch_committed(5) and tbl.is_epoch_committed(6)
+    # 8: narrower batch column is a no-op, not a narrowing ALTER
+    import pyspark.sql.types as T
+    assert tbl.evolve_schema(
+        T.StructType([T.StructField("lsn", T.IntegerType(), True)])) is False
     print(json.dumps({"ok": True}))
 """)
 

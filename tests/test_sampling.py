@@ -118,3 +118,30 @@ def test_quota_boundary_bucket_is_small(spark):
     # and the composed result is still exactly the quota
     out = quota_per_group(df, "grp", 50, "id", prefix_len=2)
     assert out.count() == 50
+
+
+def test_quota_keeps_null_keys_and_null_groups(spark):
+    """Parity with the single-window form on nullable data: NULL keys hash
+    first (the window's nulls-first order) and a NULL group is its own
+    capped group — neither is silently dropped by the two-phase join."""
+    rows = ([(None, "en")] * 3                     # null keys in a real group
+            + [(f"d{i}", "en") for i in range(50)]
+            + [(f"n{i}", None) for i in range(40)]  # a null group
+            + [(None, None)] * 2)
+    df = spark.createDataFrame(rows, "doc_id string, lang string")
+
+    out = quota_per_group(df, "lang", quota=10, key_col="doc_id")
+    by_group = {r["lang"]: r["n"] for r in
+                out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert by_group == {"en": 10, None: 10}
+    # null keys sort first (hash '' < any hex), so they occupy top slots —
+    # exactly the old window's nulls-first behavior
+    assert out.where("lang = 'en' AND doc_id IS NULL").count() == 3
+    assert out.where("lang IS NULL AND doc_id IS NULL").count() == 2
+
+    # full-set parity with the naive window on this nullable fixture
+    want = set(map(tuple, _naive_quota(spark, df, "lang", 10, "doc_id").collect()))
+    got = set(map(tuple, out.collect()))
+    # ties among identical null keys are broken arbitrarily in BOTH forms;
+    # compare group totals and the non-null winners instead
+    assert {t for t in got if t[0] is not None} == {t for t in want if t[0] is not None}
