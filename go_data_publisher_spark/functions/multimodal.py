@@ -3,10 +3,11 @@
 Decode kernels come in two tiers:
 
 - REAL codecs for container formats parseable with stdlib + numpy alone —
-  netpbm images (P5 grayscale / P6 RGB) and RIFF/WAV PCM audio (the `wave`
-  stdlib module).  These are genuine decoders: the test fixture encodes
-  real rasters/waveforms and the features are computed from the decoded
-  samples, roundtrip-pinned by tests.
+  netpbm images (P5 grayscale / P6 RGB), uncompressed 24-bit BMP (BI_RGB,
+  both bottom-up and top-down rasters, row padding handled), and RIFF/WAV
+  PCM audio (the `wave` stdlib module).  These are genuine decoders: the
+  test fixture encodes real rasters/waveforms and the features are computed
+  from the decoded samples, roundtrip-pinned by tests.
 - A deterministic STUB fallback for codecs whose libraries are not in this
   container (JPEG/PNG via Pillow, MP3/FLAC via soundfile/librosa, video
   frames via PyAV).  The fallback is clearly marked; on a cluster with
@@ -97,6 +98,59 @@ def decode_netpbm(payload: bytes) -> tuple[int, int, np.ndarray]:
     return w, h, px.reshape(h, w, 3).mean(axis=2).astype(np.uint8)
 
 
+def encode_bmp(px: np.ndarray) -> bytes:
+    """Uncompressed 24-bit BI_RGB BMP from an (h, w, 3) RGB array —
+    BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up rows, BGR byte order,
+    rows padded to 4 bytes (the Windows DIB layout)."""
+    import struct
+
+    h, w, _ = px.shape
+    row = w * 3
+    pad = (4 - row % 4) % 4
+    img_size = (row + pad) * h
+    offset = 14 + 40
+    header = b"BM" + struct.pack("<IHHI", offset + img_size, 0, 0, offset)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size,
+                       2835, 2835, 0, 0)
+    bgr = px[..., ::-1].astype(np.uint8)
+    if pad:
+        padded = np.zeros((h, row + pad), dtype=np.uint8)
+        padded[:, :row] = bgr.reshape(h, row)
+    else:
+        padded = bgr.reshape(h, row)
+    return header + info + padded[::-1].tobytes()  # bottom-up
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Uncompressed 24-bit BMP → (width, height, luma uint8 matrix).
+    Handles bottom-up (positive height) and top-down (negative) rasters and
+    4-byte row padding; compressed or non-24bpp DIBs raise ValueError (the
+    decode-skip path, same contract as the other real codecs)."""
+    import struct
+
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP payload")
+    offset = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h_signed = struct.unpack_from("<Iii", payload, 14)
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP variant (bpp={bpp}, compression={compression})")
+    h = abs(h_signed)
+    row = w * 3
+    stride = row + (4 - row % 4) % 4
+    if len(payload) < offset + stride * h:
+        raise ValueError("truncated BMP raster")
+    raster = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=offset)
+    rows = raster.reshape(h, stride)[:, :row].reshape(h, w, 3)
+    if h_signed > 0:
+        rows = rows[::-1]  # bottom-up storage → top-down raster
+    rgb = rows[..., ::-1]  # BGR → RGB
+    return w, h, rgb.mean(axis=2).astype(np.uint8)
+
+
 def encode_wav(pcm: np.ndarray, sample_rate: int) -> bytes:
     """float32 [-1, 1] mono → 16-bit PCM RIFF/WAV bytes."""
     buf = io.BytesIO()
@@ -151,6 +205,8 @@ def _decode_image(payload: bytes) -> tuple[int, int, np.ndarray]:
         raise ValueError("empty payload")
     if payload[:2] in (b"P5", b"P6"):
         return decode_netpbm(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
     return _decode_image_stub(payload)
 
 
@@ -248,6 +304,11 @@ def _encode_media_row(mid: int, seed: int = 3) -> tuple[str, str, bytes]:
     if kind == "image":
         w, h = 16 + (mid * 7) % 48, 16 + (mid * 13) % 48
         rng = np.random.default_rng([seed, mid])
+        # alternate the two real raster codecs so the mapInPandas path
+        # exercises both dispatch branches
+        if (mid // 3) % 2:
+            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            return kind, "image/bmp", encode_bmp(px)
         px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
         return kind, "image/x-portable-graymap", encode_pgm(px)
     if kind == "audio":

@@ -110,3 +110,60 @@ def test_fixture_seed_decorrelates(spark):
     b = {r.media_id: bytes(r.payload)
          for r in M.make_media_fixture(spark, n=9, seed=2).collect()}
     assert all(a[k] != b[k] for k in a)
+
+
+def test_bmp_roundtrip_and_variants():
+    """Real BMP codec: encode→decode is identity on dimensions and luma for
+    padded and unpadded widths; top-down rasters and unsupported variants
+    handled."""
+    import numpy as np
+    import pytest
+
+    from go_data_publisher_spark.functions.multimodal import decode_bmp, encode_bmp
+
+    for w, h in ((16, 8), (17, 5), (3, 3)):  # 17*3=51 → 1-byte row padding
+        rng = np.random.default_rng([w, h])
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        gw, gh, luma = decode_bmp(encode_bmp(px))
+        assert (gw, gh) == (w, h)
+        assert np.array_equal(luma, px.mean(axis=2).astype(np.uint8))
+
+    # top-down raster (negative height) decodes to the same image
+    import struct
+    px = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    buf = bytearray(encode_bmp(px))
+    struct.pack_into("<i", buf, 22, -4)                 # height := -4
+    body = bytes(buf[54:])
+    stride = len(body) // 4
+    flipped = b"".join(body[i * stride:(i + 1) * stride] for i in range(3, -1, -1))
+    gw, gh, luma = decode_bmp(bytes(buf[:54]) + flipped)
+    assert (gw, gh) == (4, 4)
+    assert np.array_equal(luma, px.mean(axis=2).astype(np.uint8))
+
+    with pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp(b"XX" + b"\0" * 60)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_bmp(encode_bmp(px)[:-8])
+    comp = bytearray(encode_bmp(px))
+    struct.pack_into("<I", comp, 30, 1)                 # BI_RLE8 compression
+    with pytest.raises(ValueError, match="unsupported BMP variant"):
+        decode_bmp(bytes(comp))
+
+
+def test_bmp_flows_through_image_features(spark):
+    """The fixture now emits BMP payloads too; the mapInPandas feature
+    extractor must decode both raster codecs (mime tells which rows)."""
+    from go_data_publisher_spark.functions.multimodal import (
+        extract_image_features,
+        make_media_fixture,
+    )
+
+    media = make_media_fixture(spark, n=36)
+    imgs = media.where("kind = 'image'")
+    mimes = {r["mime"] for r in imgs.select("mime").distinct().collect()}
+    assert mimes == {"image/x-portable-graymap", "image/bmp"}
+    feats = extract_image_features(imgs)
+    # every image row decodes (no skips), real dimensions carried through
+    assert feats.count() == imgs.count()
+    assert feats.where("width >= 16 AND height >= 16 AND mean_luma > 0").count() \
+        == feats.count()
