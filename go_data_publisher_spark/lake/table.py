@@ -220,10 +220,18 @@ class TranscriptTable:
     _CHECKPOINT_INTERVAL = 20
 
     def _retained_versions(self) -> list[int]:
+        """COMMITTED versions on disk: manifest files at or below CURRENT.
+        A file above CURRENT is a crashed writer's unpointed leftover (its
+        content may be arbitrary garbage — the commit died mid-write);
+        `_write_manifest` reclaims the slot, so readers, history() and
+        vacuum() must never parse it as a snapshot."""
+        cur = self._current_version()
+        if cur is None:
+            return []
         return sorted(
-            int(n.split("-")[1].split(".")[0])
-            for n in os.listdir(f"{self.root}/_manifests")
+            v for n in os.listdir(f"{self.root}/_manifests")
             if n.startswith("manifest-")
+            and (v := int(n.split("-")[1].split(".")[0])) <= cur
         )
 
     def _load_raw(self, version: int) -> dict:
@@ -833,32 +841,59 @@ class TranscriptTable:
         its delta dir but not yet published the manifest (Delta's
         deletedFileRetentionDuration rationale).  Pass 0 only when no writer
         can be running concurrently."""
+        import fcntl
+
         now = time.time()
-        cur = self._current_version()
-        versions = self._retained_versions()
-        keep = set(v for v in versions if v > cur - keep_versions) | {cur}
-        # Squash before expiry: a kept DELTA manifest whose base chain
-        # reaches below the keep window is rewritten in place as a
-        # self-contained checkpoint (content-identical fold — the resolved
-        # file list does not change), so expiring older manifests can never
-        # strand a chain.  Ascending order: within the contiguous keep
-        # window a base >= min(keep) is itself kept and already squashed.
-        min_keep = min(keep)
-        for v in sorted(keep):
-            raw = self._load_raw(v)
-            if "files" not in raw and int(raw["base_version"]) < min_keep:
-                folded = {k: val for k, val in raw.items()
-                          if k not in ("base_version", "files_added", "files_removed")}
-                folded["files"] = self._resolve_files(v, raw)
-                fd, tmp = tempfile.mkstemp(dir=f"{self.root}/_manifests")
-                with os.fdopen(fd, "w") as f:
-                    json.dump(folded, f)
-                    f.flush()
-                    os.fsync(f.fileno())
-                os.replace(tmp, self._manifest_path(v))
-        live: set[str] = set()
-        for v in keep:
-            live |= {f["path"] for f in self._resolve_files(v)}
+        # The METADATA phase (squash + manifest expiry) runs under the commit
+        # lock: with the lock held no writer can sit between its manifest
+        # write and the CURRENT swap, so (a) any manifest file above CURRENT
+        # is a crashed writer's dead leftover and can be reclaimed, and
+        # (b) expiring a manifest can never race a commit that is about to
+        # point CURRENT at it.  Data-file GC stays outside the lock — the
+        # orphan grace window protects in-flight delta writes.
+        lock_fd = os.open(f"{self.root}/_manifests/COMMIT_LOCK",
+                          os.O_CREAT | os.O_RDWR, 0o644)
+        removed_manifests = 0
+        try:
+            fcntl.flock(lock_fd, fcntl.LOCK_EX)
+            cur = self._current_version()
+            versions = self._retained_versions()
+            keep = set(v for v in versions if v > cur - keep_versions) | {cur}
+            # Squash before expiry: a kept DELTA manifest whose base chain
+            # reaches below the keep window is rewritten in place as a
+            # self-contained checkpoint (content-identical fold — the
+            # resolved file list does not change), so expiring older
+            # manifests can never strand a chain.  Ascending order: within
+            # the contiguous keep window a base >= min(keep) is itself kept
+            # and already squashed.
+            min_keep = min(keep)
+            for v in sorted(keep):
+                raw = self._load_raw(v)
+                if "files" not in raw and int(raw["base_version"]) < min_keep:
+                    folded = {k: val for k, val in raw.items()
+                              if k not in ("base_version", "files_added", "files_removed")}
+                    folded["files"] = self._resolve_files(v, raw)
+                    fd, tmp = tempfile.mkstemp(dir=f"{self.root}/_manifests")
+                    with os.fdopen(fd, "w") as f:
+                        json.dump(folded, f)
+                        f.flush()
+                        os.fsync(f.fileno())
+                    os.replace(tmp, self._manifest_path(v))
+            live: set[str] = set()
+            for v in keep:
+                live |= {f["path"] for f in self._resolve_files(v)}
+            # expire: committed manifests outside the keep window AND
+            # crashed-writer leftovers above CURRENT (safe only here, under
+            # the lock)
+            for name in os.listdir(f"{self.root}/_manifests"):
+                if not name.startswith("manifest-"):
+                    continue
+                v = int(name.split("-")[1].split(".")[0])
+                if v not in keep:
+                    os.unlink(f"{self.root}/_manifests/{name}")
+                    removed_manifests += 1
+        finally:
+            os.close(lock_fd)  # releases the flock
         removed_files = 0
         for dirpath, _dirs, files in os.walk(f"{self.root}/data"):
             for name in files:
@@ -871,11 +906,6 @@ class TranscriptTable:
                         continue
                     os.unlink(p)
                     removed_files += 1
-        removed_manifests = 0
-        for v in versions:
-            if v not in keep:
-                os.unlink(self._manifest_path(v))
-                removed_manifests += 1
         return {"removed_files": removed_files, "removed_manifests": removed_manifests,
                 "kept_versions": sorted(keep)}
 

@@ -130,3 +130,29 @@ def test_writer_expiry(spark, tmpdir_path):
     df3 = spark.createDataFrame([(3, "I", "c3", 0, "user", "t", None, None, 1)], SCHEMA)
     tbl.merge(df3, epoch_id=1, writer_id="new-pipeline")
     assert tbl.is_epoch_committed(1, writer_id="new-pipeline")
+
+
+def test_leftover_manifest_does_not_poison_history_or_vacuum(spark, tmpdir_path):
+    """A crashed writer's unpointed manifest (version > CURRENT, arbitrary
+    garbage content) must be invisible to history()/manifest() readers and
+    reclaimed by vacuum — never parsed as a snapshot."""
+    tbl = TranscriptTable(spark, f"{tmpdir_path}/tbl", n_buckets=2)
+    for i in range(1, 4):
+        tbl._publish(tbl.manifest(), files_added=[_entry(i)])
+    cur = tbl.manifest()["version"]
+    with open(tbl._manifest_path(cur + 1), "w") as f:
+        f.write("{}")  # crash between manifest write and CURRENT swap
+    with open(tbl._manifest_path(cur + 5), "w") as f:
+        f.write("not json at all")
+
+    assert [h["version"] for h in tbl.history()] == [0, 1, 2, 3]
+    assert tbl.manifest()["version"] == cur  # CURRENT untouched
+
+    stats = tbl.vacuum(keep_versions=2, orphan_grace_seconds=0)
+    # expired: v0, v1 (outside keep) + both leftovers
+    assert stats["removed_manifests"] == 4
+    assert {h["version"] for h in tbl.history()} == {2, 3}
+    # table still fully functional: next commit takes the reclaimed slot
+    tbl._publish(tbl.manifest(), files_added=[_entry(99)])
+    assert tbl.manifest()["version"] == cur + 1
+    assert len(tbl.manifest()["files"]) == 4
