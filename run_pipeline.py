@@ -8,6 +8,9 @@ Commands:
   stream    --source DIR --table DIR --checkpoint DIR   tail + merge-apply
   batch     --source DIR --table DIR [--chunks K]       chunked batch replay
   verify    --source DIR --table DIR              full-replay equality check
+  report    --table DIR [--lineage DIR]           progress/intervals/gaps JSON
+  maintain  --table DIR [--compact-threshold N] [--vacuum-keep K]
+            compaction + snapshot expiry (out-of-band maintenance)
   bench     (see bench.py / bench_scaling.py)
 
 On a cluster, swap `get_spark` for the session spark-submit provides
@@ -64,6 +67,21 @@ def main():
     r = sub.add_parser("report")
     r.add_argument("--table", required=True)
     r.add_argument("--lineage", default=None)
+
+    m = sub.add_parser("maintain",
+                       help="compaction + snapshot expiry (the reference's "
+                            "out-of-band maintenance loops)")
+    m.add_argument("--table", required=True)
+    m.add_argument("--compact-threshold", type=int, default=None,
+                   help="compact buckets holding >= this many delta files "
+                        "(omit to compact every bucket)")
+    m.add_argument("--no-compact", action="store_true")
+    m.add_argument("--vacuum-keep", type=int, default=None,
+                   help="expire snapshots, keeping this many versions")
+    m.add_argument("--orphan-grace-seconds", type=float, default=3600.0)
+    m.add_argument("--drop-tombstones-below", type=int, default=None,
+                   help="expire delete tombstones below this replay "
+                        "low-watermark during compaction")
 
     args = p.parse_args()
 
@@ -124,6 +142,30 @@ def main():
             got, expected, key=("conv_id", "turn_idx"), compare_cols=["text", "role", "lsn"]
         )
         print(json.dumps({"verified": True, **stats}))
+
+    elif args.cmd == "maintain":
+        tbl = TranscriptTable(spark, args.table)
+        out = {"table": args.table}
+        if not args.no_compact:
+            if args.compact_threshold is not None:
+                hot = sorted(b for b, n in tbl.delta_file_counts().items()
+                             if n >= args.compact_threshold)
+            else:
+                hot = None  # every bucket
+            if hot is None or hot:
+                tbl.compact(buckets=hot,
+                            drop_tombstones_below=args.drop_tombstones_below)
+            out["compacted_buckets"] = "all" if hot is None else hot
+        if args.vacuum_keep is not None:
+            out["vacuum"] = tbl.vacuum(
+                keep_versions=args.vacuum_keep,
+                orphan_grace_seconds=args.orphan_grace_seconds,
+            )
+        m2 = tbl.manifest()
+        out["version"] = m2["version"]
+        out["live_files"] = m2["n_live_files"]
+        out["delta_files_per_bucket"] = tbl.delta_file_counts()
+        print(json.dumps(out))
 
     elif args.cmd == "report":
         # status-service serving analogue (S10/Q7/Q8/A3): progress, intervals,
