@@ -564,17 +564,23 @@ class TranscriptTable:
             return -1, set()
         return int(w["epoch_hwm"]), set(w["epochs_recent"])
 
+    # the epoch/cursor fast-path reads load the raw CURRENT manifest only —
+    # no file-list fold; these run once per microbatch and must stay O(1)
+    # in live-file count
+
     def is_epoch_committed(self, epoch_id: int, writer_id: str = "default") -> bool:
-        hwm, recent = self._writer_state(self.manifest(), writer_id)
+        hwm, recent = self._writer_state(
+            self._load_raw(self._current_version()), writer_id)
         e = int(epoch_id)
         return e <= hwm or e in recent
 
     def epoch_state(self, writer_id: str = "default") -> dict:
-        hwm, recent = self._writer_state(self.manifest(), writer_id)
+        hwm, recent = self._writer_state(
+            self._load_raw(self._current_version()), writer_id)
         return {"epoch_hwm": hwm, "epochs_recent": sorted(recent)}
 
     def cursor_lsn(self) -> int:
-        return int(self.manifest()["cursor_lsn"])
+        return int(self._load_raw(self._current_version())["cursor_lsn"])
 
     # ---------------- MERGE (merge-on-read delta commit) ----------------
 
