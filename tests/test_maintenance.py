@@ -101,3 +101,41 @@ def test_compaction_retains_tombstones_against_late_changes(spark, tmpdir_path):
     tbl.compact(drop_tombstones_below=10)
     winners = tbl.snapshot(keep_tombstones=True).collect()
     assert [(r.conv_id, r.op) for r in winners] == [("c2", "I")]
+
+
+def test_random_maintenance_interleaving_preserves_state(spark, tmpdir_path):
+    """Merge chunks interleaved with incremental compactions and vacuums (in
+    random but seeded order) must fold to exactly the no-maintenance replay
+    state — the manifest-delta plane may never lose or resurrect a file
+    across squash/expiry/compaction."""
+    import random
+
+    from conftest import pandas_final_state
+    import pandas as pd
+
+    for seed in (101, 202):
+        rng = random.Random(seed)
+        root = f"{tmpdir_path}/tbl{seed}"
+        tbl = TranscriptTable(spark, root, n_buckets=4)
+        app = ChangeApplier(tbl)
+        log = generate_changelog(spark, 2500, n_convs=30, seed=seed).persist()
+        lo, hi = log.agg(F.min("lsn"), F.max("lsn")).first()
+        n_chunks = 5
+        span = (hi - lo) // n_chunks + 1
+        for i in range(n_chunks):
+            b = (lo + i * span, min(hi, lo + (i + 1) * span - 1))
+            app.apply_batch(log.where(F.col("lsn").between(*b)), epoch_id=i)
+            action = rng.random()
+            if action < 0.4:
+                tbl.compact(buckets=rng.sample(range(4), rng.randint(1, 3)))
+            elif action < 0.7:
+                tbl.vacuum(keep_versions=rng.randint(1, 3),
+                           orphan_grace_seconds=0)
+        snap = tbl.snapshot().orderBy("conv_id", "turn_idx").toPandas()
+        oracle = pandas_final_state(log.toPandas()).sort_values(
+            ["conv_id", "turn_idx"]).reset_index(drop=True)
+        pd.testing.assert_series_equal(
+            snap["text"].reset_index(drop=True),
+            oracle["text"].reset_index(drop=True),
+            check_names=False, obj=f"text seed={seed}")
+        log.unpersist()
