@@ -190,6 +190,12 @@ def minhash_lsh_pairs(df: DataFrame, id_col="doc_id", text_col="text", k: int = 
             )
         ).alias("band", "band_hash"),
     )
+    # NOTE (measured, sf0.1): the self-join recomputes the signature subtree
+    # once per branch, but cutting that with localCheckpoint(eager=False) on
+    # the bands frame made the whole query 2-3× SLOWER — the checkpoint
+    # boundary blocks AQE's runtime join planning and whole-stage pipelining,
+    # which outweighs the duplicated (fully pipelined, map-only) signature
+    # scan.  Leave the recompute to Catalyst.
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
