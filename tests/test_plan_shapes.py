@@ -105,3 +105,26 @@ def test_merge_on_read_snapshot_folds_with_partial_agg(spark, tmpdir_path):
     tbl.compact()
     plan2 = _plan(tbl.snapshot())
     assert "max_by" not in plan2
+
+
+def test_quota_window_consumes_boundary_filter_not_full_scan(spark):
+    """quota_per_group's ranking window must sit above the boundary-bucket
+    filter (only the straddling hash-prefix bucket per group is sorted) —
+    losing that filter silently reverts to a full-group single-task sort."""
+    from go_data_publisher_spark.operators.sampling import quota_per_group
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = quota_per_group(docs, "lang", quota=5, key_col="doc_id")
+    opt = _optimized(out)
+    # the two-phase shape: a count aggregate feeds the plan...
+    assert "count(1)" in opt
+    # ...and the row_number window's input subtree carries the boundary
+    # predicate on the cumulative count (below < quota AND below + c > quota)
+    win_at = opt.index("row_number()")
+    below_window = opt[win_at:]
+    assert "__below" in below_window and "window" in opt.lower()
+    # the window operates after a Filter mentioning __below — i.e. on the
+    # boundary bucket, not on the raw scan
+    import re
+    filt = re.search(r"Filter .*__below", opt)
+    assert filt is not None, "boundary filter missing from the optimized plan"
