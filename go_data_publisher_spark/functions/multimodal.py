@@ -134,6 +134,13 @@ def decode_bmp(payload: bytes) -> tuple[int, int, np.ndarray]:
     hdr_size, w, h_signed = struct.unpack_from("<Iii", payload, 14)
     if hdr_size < 40:
         raise ValueError(f"unsupported BMP header size {hdr_size}")
+    # a corrupt offset below the headers would decode header bytes as
+    # raster and yield plausible-looking garbage features instead of
+    # hitting the decode-skip path
+    if offset < 14 + hdr_size or offset > len(payload):
+        raise ValueError(f"malformed BMP pixel-data offset {offset}")
+    if w <= 0 or h_signed == 0:
+        raise ValueError(f"malformed BMP dimensions ({w}x{h_signed})")
     bpp = struct.unpack_from("<H", payload, 28)[0]
     compression = struct.unpack_from("<I", payload, 30)[0]
     if bpp != 24 or compression != 0:

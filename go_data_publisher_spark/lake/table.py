@@ -61,7 +61,6 @@ from __future__ import annotations
 
 import json
 import os
-import tempfile
 import time
 import uuid
 
@@ -238,7 +237,16 @@ class TranscriptTable:
         """The manifest JSON exactly as committed — a checkpoint (has
         ``files``) or a delta (has ``base_version`` + ``files_added`` /
         ``files_removed``).  A version expired by vacuum raises a clear
-        retention error instead of a raw FileNotFoundError."""
+        retention error instead of a raw FileNotFoundError, and a version
+        ABOVE CURRENT is refused even if a file exists there — that file is
+        a crashed writer's unpointed leftover (possibly garbage, and its
+        slot will be reclaimed by a later commit), never a snapshot."""
+        cur = self._current_version()
+        if cur is None or int(version) > cur:
+            raise ValueError(
+                f"version {version} is not a committed snapshot "
+                f"(CURRENT is {cur})"
+            )
         try:
             with open(self._manifest_path(version)) as f:
                 return json.load(f)
@@ -249,6 +257,16 @@ class TranscriptTable:
                 f"version {version} is not retained (removed by vacuum); "
                 f"oldest retained version is {oldest}"
             ) from None
+
+    def _raw_current(self) -> dict:
+        """Raw CURRENT manifest — the O(1)-in-live-files fast path for the
+        per-microbatch scalar reads (no file-list fold).  One place owns the
+        missing-CURRENT edge."""
+        cur = self._current_version()
+        if cur is None:
+            raise ValueError(f"table at {self.root} has no committed manifest")
+        with open(self._manifest_path(cur)) as f:
+            return json.load(f)
 
     def _resolve_files(self, version: int, raw: dict | None = None) -> list:
         """Fold the delta chain into the version's full live-file list.
@@ -375,35 +393,20 @@ class TranscriptTable:
         flock works; multi-host deployments need a shared lock service or
         the Iceberg catalog backend (`lake.iceberg`), whose catalog provides
         the atomic compare-and-swap instead."""
-        import fcntl
+        from ..ioutil import atomic_write_json, atomic_write_text, locked
 
-        lock_fd = os.open(f"{self.root}/_manifests/COMMIT_LOCK",
-                          os.O_CREAT | os.O_RDWR, 0o644)
-        try:
-            fcntl.flock(lock_fd, fcntl.LOCK_EX)
+        with locked(f"{self.root}/_manifests/COMMIT_LOCK"):
             cur = self._current_version()
             if cur is not None and cur >= version:
                 raise ConcurrentCommitError(
                     f"manifest version {version} was committed by a "
                     f"concurrent writer (CURRENT is now {cur})"
                 )
-            path = self._manifest_path(version)
-            if os.path.exists(path):
-                os.unlink(path)  # crashed writer's unpointed leftover
-            with open(path, "w") as f:
-                json.dump(manifest, f)
-                f.flush()
-                os.fsync(f.fileno())
+            # overwrites any crashed writer's unpointed leftover in the slot
+            atomic_write_json(self._manifest_path(version), manifest)
             # atomic publish (the fsync'd cursor write of the reference,
             # status-service/db/store.go:144)
-            fd, tmp = tempfile.mkstemp(dir=f"{self.root}/_manifests")
-            with os.fdopen(fd, "w") as f:
-                f.write(str(version))
-                f.flush()
-                os.fsync(f.fileno())
-            os.replace(tmp, self._current_path())
-        finally:
-            os.close(lock_fd)  # releases the flock
+            atomic_write_text(self._current_path(), str(version))
 
     # ---------------- schema ----------------
 
@@ -569,18 +572,16 @@ class TranscriptTable:
     # in live-file count
 
     def is_epoch_committed(self, epoch_id: int, writer_id: str = "default") -> bool:
-        hwm, recent = self._writer_state(
-            self._load_raw(self._current_version()), writer_id)
+        hwm, recent = self._writer_state(self._raw_current(), writer_id)
         e = int(epoch_id)
         return e <= hwm or e in recent
 
     def epoch_state(self, writer_id: str = "default") -> dict:
-        hwm, recent = self._writer_state(
-            self._load_raw(self._current_version()), writer_id)
+        hwm, recent = self._writer_state(self._raw_current(), writer_id)
         return {"epoch_hwm": hwm, "epochs_recent": sorted(recent)}
 
     def cursor_lsn(self) -> int:
-        return int(self._load_raw(self._current_version())["cursor_lsn"])
+        return int(self._raw_current()["cursor_lsn"])
 
     # ---------------- MERGE (merge-on-read delta commit) ----------------
 
@@ -847,7 +848,7 @@ class TranscriptTable:
         its delta dir but not yet published the manifest (Delta's
         deletedFileRetentionDuration rationale).  Pass 0 only when no writer
         can be running concurrently."""
-        import fcntl
+        from ..ioutil import atomic_write_json, locked
 
         now = time.time()
         # The METADATA phase (squash + manifest expiry) runs under the commit
@@ -855,13 +856,13 @@ class TranscriptTable:
         # write and the CURRENT swap, so (a) any manifest file above CURRENT
         # is a crashed writer's dead leftover and can be reclaimed, and
         # (b) expiring a manifest can never race a commit that is about to
-        # point CURRENT at it.  Data-file GC stays outside the lock — the
-        # orphan grace window protects in-flight delta writes.
-        lock_fd = os.open(f"{self.root}/_manifests/COMMIT_LOCK",
-                          os.O_CREAT | os.O_RDWR, 0o644)
+        # point CURRENT at it.  The critical section is squash + expiry ONLY
+        # — O(keep-window) small JSON work; the O(live-files) fold and the
+        # data-file walk run after release (kept manifests survive expiry by
+        # construction, and the orphan grace window protects in-flight delta
+        # writes), so a large table's vacuum never stalls concurrent commits.
         removed_manifests = 0
-        try:
-            fcntl.flock(lock_fd, fcntl.LOCK_EX)
+        with locked(f"{self.root}/_manifests/COMMIT_LOCK"):
             cur = self._current_version()
             versions = self._retained_versions()
             keep = set(v for v in versions if v > cur - keep_versions) | {cur}
@@ -879,15 +880,7 @@ class TranscriptTable:
                     folded = {k: val for k, val in raw.items()
                               if k not in ("base_version", "files_added", "files_removed")}
                     folded["files"] = self._resolve_files(v, raw)
-                    fd, tmp = tempfile.mkstemp(dir=f"{self.root}/_manifests")
-                    with os.fdopen(fd, "w") as f:
-                        json.dump(folded, f)
-                        f.flush()
-                        os.fsync(f.fileno())
-                    os.replace(tmp, self._manifest_path(v))
-            live: set[str] = set()
-            for v in keep:
-                live |= {f["path"] for f in self._resolve_files(v)}
+                    atomic_write_json(self._manifest_path(v), folded)
             # expire: committed manifests outside the keep window AND
             # crashed-writer leftovers above CURRENT (safe only here, under
             # the lock)
@@ -898,8 +891,9 @@ class TranscriptTable:
                 if v not in keep:
                     os.unlink(f"{self.root}/_manifests/{name}")
                     removed_manifests += 1
-        finally:
-            os.close(lock_fd)  # releases the flock
+        live: set[str] = set()
+        for v in keep:
+            live |= {f["path"] for f in self._resolve_files(v)}
         removed_files = 0
         for dirpath, _dirs, files in os.walk(f"{self.root}/data"):
             for name in files:

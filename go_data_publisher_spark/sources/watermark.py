@@ -22,10 +22,12 @@ from __future__ import annotations
 
 import json
 import os
-import tempfile
+import urllib.parse
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..ioutil import atomic_write_json
 
 
 class WatermarkKeyError(KeyError):
@@ -41,18 +43,18 @@ class ExternalWatermarkStore:
         os.makedirs(self.root, exist_ok=True)
 
     def _path(self, key: str) -> str:
-        safe = "".join(c if c.isalnum() or c in "-_." else "_" for c in key)
+        # INJECTIVE filename encoding (percent-escaping): distinct keys can
+        # never alias to one file — 'a/b' and 'a_b' stay separate watermarks
+        # (a lossy sanitizer would silently merge two external systems'
+        # ticks, clamping the publisher to the wrong head)
+        safe = urllib.parse.quote(key, safe="-_.")
         return f"{self.root}/{safe}.json"
 
     def set_status(self, key: str, tick_number: int, count: int) -> None:
         """Atomic publish (tmp + rename): concurrent readers see either the
         old hash or the new one, never a torn write."""
-        fd, tmp = tempfile.mkstemp(dir=self.root)
-        with os.fdopen(fd, "w") as f:
-            json.dump({"tickNumber": int(tick_number), "count": int(count)}, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, self._path(key))
+        atomic_write_json(self._path(key),
+                          {"tickNumber": int(tick_number), "count": int(count)})
 
     def get_status(self, key: str) -> tuple[int, int]:
         """(tick_number, count) — raises WatermarkKeyError on a missing key,

@@ -144,12 +144,20 @@ def main():
         print(json.dumps({"verified": True, **stats}))
 
     elif args.cmd == "maintain":
+        # tombstone expiry happens DURING the compaction rewrite — accepting
+        # it alongside --no-compact (or a threshold that compacts nothing)
+        # would silently not expire anything
+        if args.no_compact and args.drop_tombstones_below is not None:
+            p.error("--drop-tombstones-below requires compaction "
+                    "(remove --no-compact)")
         tbl = TranscriptTable(spark, args.table)
         out = {"table": args.table}
         if not args.no_compact:
             if args.compact_threshold is not None:
                 hot = sorted(b for b, n in tbl.delta_file_counts().items()
                              if n >= args.compact_threshold)
+                if not hot and args.drop_tombstones_below is not None:
+                    hot = None  # expiry was requested: rewrite every bucket
             else:
                 hot = None  # every bucket
             if hot is None or hot:

@@ -167,3 +167,37 @@ def test_bmp_flows_through_image_features(spark):
     assert feats.count() == imgs.count()
     assert feats.where("width >= 16 AND height >= 16 AND mean_luma > 0").count() \
         == feats.count()
+
+
+def test_bmp_malformed_headers_hit_skip_path():
+    """Corrupt offset / non-positive dimensions must raise (decode-skip),
+    never decode header bytes as plausible raster features."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from go_data_publisher_spark.functions.multimodal import decode_bmp, encode_bmp
+
+    px = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    good = encode_bmp(px)
+
+    bad_offset = bytearray(good)
+    struct.pack_into("<I", bad_offset, 10, 0)  # offset below the headers
+    with pytest.raises(ValueError, match="pixel-data offset"):
+        decode_bmp(bytes(bad_offset))
+
+    past_end = bytearray(good)
+    struct.pack_into("<I", past_end, 10, len(good) + 100)
+    with pytest.raises(ValueError, match="pixel-data offset"):
+        decode_bmp(bytes(past_end))
+
+    neg_w = bytearray(good)
+    struct.pack_into("<i", neg_w, 18, -4)
+    with pytest.raises(ValueError, match="dimensions"):
+        decode_bmp(bytes(neg_w))
+
+    zero_h = bytearray(good)
+    struct.pack_into("<i", zero_h, 22, 0)
+    with pytest.raises(ValueError, match="dimensions"):
+        decode_bmp(bytes(zero_h))

@@ -55,3 +55,13 @@ def test_key_sanitization_no_traversal(tmpdir_path):
     import os
     assert not os.path.exists(f"{tmpdir_path}/evil.json")
     assert st.get_status("../../evil") == (1, 1)
+
+
+def test_distinct_keys_never_alias(tmpdir_path):
+    """Injective filename encoding: 'a/b' and 'a_b' are different external
+    systems and must keep independent watermarks."""
+    st = ExternalWatermarkStore(f"{tmpdir_path}/wm2")
+    st.set_status("logs/status", 100, 10)
+    st.set_status("logs_status", 200, 20)
+    assert st.get_status("logs/status") == (100, 10)
+    assert st.get_status("logs_status") == (200, 20)
