@@ -119,8 +119,6 @@ def run_stream(
     real cluster, replace the file source with `.format("kafka")`; everything
     from the decode down is identical.
     """
-    from pyspark.sql import functions as F
-
     schema = schema or schemas.CHANGE_EVENT_SCHEMA
     if wire_format:
         wire_schema = "key binary, value string"
@@ -138,8 +136,38 @@ def run_stream(
             .option("maxFilesPerTrigger", max_files_per_trigger)
             .parquet(source_dir)
         )
+    return run_stream_from(
+        src, applier, checkpoint_dir, available_now=available_now,
+        fail_after_batches=fail_after_batches, metrics_path=metrics_path,
+    )
+
+
+def run_stream_from(
+    source: DataFrame,
+    applier: ChangeApplier,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    fail_after_batches: int | None = None,
+    metrics_path: str | None = None,
+):
+    """Drive any typed change-event STREAMING frame through the foreachBatch
+    merge sink — the composition point for non-file sources:
+
+        raw = kafka_reader(spark, "broker:9092", "transcripts",
+                           max_offsets_per_trigger=4096)
+        events = decode_kafka_records(raw).drop("__key_tick")
+        run_stream_from(events, applier, "/ckpt/transcripts",
+                        available_now=False)
+
+    ``source`` must be a streaming DataFrame with the change-event columns
+    (at minimum the key/order columns the applier's table merges on).
+    Everything downstream — exactly-once epoch guard, schema evolution,
+    dedup, quarantine, lineage, metrics — is source-agnostic."""
+    from pyspark.sql import functions as F
+
+    spark = source.sparkSession
     # zero-cost batch counters piggybacked on the stream pass (A5)
-    src = src.observe(
+    src = source.observe(
         "cdc_batch", F.count(F.lit(1)).alias("rows"),
         F.min("lsn").alias("lsn_min"), F.max("lsn").alias("lsn_max"),
     )

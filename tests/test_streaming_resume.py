@@ -98,3 +98,36 @@ def test_resume_replay_batch_is_skipped(spark, tmpdir_path):
     assert epoch1.count("committed") == 1
     assert "skipped_replay" in epoch1
     _assert_equals_oracle(log, tbl)
+
+
+def test_run_stream_from_composes_with_any_source(spark, tmpdir_path):
+    """run_stream_from drives a caller-built streaming frame (the
+    kafka_reader/decode composition point) through the same foreachBatch
+    sink — result equals the built-in file-source path."""
+    from go_data_publisher_spark import schemas
+    from go_data_publisher_spark.lake.table import TranscriptTable
+    from go_data_publisher_spark.sources.changelog import (
+        generate_changelog,
+        write_changelog_stream_dir,
+    )
+    from go_data_publisher_spark.streaming.apply import ChangeApplier
+    from go_data_publisher_spark.streaming.pipeline import run_stream, run_stream_from
+
+    log = generate_changelog(spark, 600, n_convs=10, seed=31)
+    src_dir = f"{tmpdir_path}/log"
+    write_changelog_stream_dir(log, src_dir, n_chunks=3)
+
+    # built-in path
+    t1 = TranscriptTable(spark, f"{tmpdir_path}/t1", n_buckets=2)
+    run_stream(spark, src_dir, ChangeApplier(t1), f"{tmpdir_path}/ck1")
+
+    # caller-built source through run_stream_from
+    src = (spark.readStream.schema(schemas.CHANGE_EVENT_SCHEMA)
+           .option("maxFilesPerTrigger", 1).parquet(src_dir))
+    t2 = TranscriptTable(spark, f"{tmpdir_path}/t2", n_buckets=2)
+    state = run_stream_from(src, ChangeApplier(t2), f"{tmpdir_path}/ck2")
+    assert state["applied"] >= 1
+
+    a = sorted(map(tuple, t1.snapshot().collect()))
+    b = sorted(map(tuple, t2.snapshot().collect()))
+    assert a == b and len(a) > 0
