@@ -36,7 +36,11 @@ def test_fold_matches_reference_model(spark, tmp_path_factory, actions):
     tbl = TranscriptTable(spark, f"{root}/tbl", n_buckets=4)
     model: dict[str, dict] = {}   # path -> entry (the trivially-correct fold)
     next_id = 0
-    history_snapshots: list[tuple[int, set]] = []
+    # Seed with version 0 (the empty manifest committed at construction):
+    # it is a retained checkpoint until a vacuum drops it, so the fresh-reader
+    # meta-guard below (`checked >= 1`) holds even for a degenerate action
+    # sequence that never commits (e.g. all-removes on an empty table).
+    history_snapshots: list[tuple[int, set]] = [(0, set())]
 
     for kind, k in actions:
         if kind == "add":
