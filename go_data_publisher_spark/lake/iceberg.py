@@ -119,6 +119,9 @@ class IcebergTable:
         self.name = f"lake.db.{name}"
         self.key = list(key)
         self.order_col = order_col
+        # stored (not just baked into the CREATE DDL): the degrade-to-serial
+        # write ladder in streaming/apply.py reads it to pick retry widths
+        self.n_buckets = n_buckets
         ddl = schema_ddl or ", ".join(
             f"{f.name} {f.dataType.simpleString()}" for f in schemas.TRANSCRIPT_SCHEMA
         )
@@ -230,6 +233,12 @@ class IcebergTable:
             from ..operators.dedup import last_wins
 
             changes = last_wins(changes, key=self.key, order=(self.order_col,))
+        if write_parallelism is not None:
+            # degrade-ladder support: narrowing the source frame narrows the
+            # merge job's write width (AQE follows the reduced input
+            # parallelism) — the Iceberg analogue of the mini-lake's
+            # write_parallelism repartition
+            changes = changes.repartition(max(1, int(write_parallelism)))
         # unique per-merge view name: a fixed name would let two interleaved
         # merges on one session consume each other's batch
         view = f"__cdc_batch_{uuid.uuid4().hex[:12]}"
@@ -258,12 +267,29 @@ class IcebergTable:
         while hwm + 1 in recent:
             hwm += 1
             recent.discard(hwm)
+        # same bounded-state guard as TranscriptTable._commit: epoch ids are
+        # contiguous per writer, so an ever-growing recent set means a
+        # permanent gap — fail loudly instead of growing the cdc.epoch.recent
+        # property without bound
+        from .table import TranscriptTable as _T
+
+        if len(recent) > _T._MAX_EPOCHS_RECENT:
+            raise RuntimeError(
+                f"writer {writer_id!r} has {len(recent)} committed epochs "
+                f"above its high watermark {hwm} — the epoch id space has a "
+                f"permanent gap; epoch ids must be contiguous per writer"
+            )
         cursor = max(self.cursor_lsn(),
                      int(batch_max_lsn) if batch_max_lsn is not None else -1)
         hwm_p, rec_p = self._epoch_props(writer_id)
         # property update is a separate catalog commit (not atomic with the
         # MERGE) — safe because replaying the MERGE is a no-op in effect
-        # under the LSN guard; the property is only the fast-path skip
+        # under the LSN guard; the property is only the fast-path skip.
+        # NOTE: this read-modify-write is last-write-wins across CONCURRENT
+        # commits under the same writer_id — losing an epoch from the
+        # fast-path property only costs a redundant (no-op) re-merge, never
+        # correctness; pipelines that need a races-free guard must use one
+        # writer per writer_id (the documented contract, as in the mini-lake)
         self.spark.sql(
             f"ALTER TABLE {self.name} SET TBLPROPERTIES "
             f"('{hwm_p}'='{hwm}', '{rec_p}'='{_json.dumps(sorted(recent))}', "

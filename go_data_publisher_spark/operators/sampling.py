@@ -44,6 +44,11 @@ def deterministic_sample(df: DataFrame, fraction: float, key_col: str,
     The first 8 hex chars of md5(key) are uniform over [0, 16^8); a row is
     kept iff they compare below floor(fraction·16^8) rendered as zero-padded
     hex.  ``salt`` decorrelates independent samples over the same keys.
+
+    NULL keys hash to the empty string (same convention as
+    ``quota_per_group``), which sorts below every threshold — so NULL-keyed
+    rows are KEPT for any fraction > 0 rather than silently dropped by a
+    null predicate.
     """
     if not 0.0 <= fraction <= 1.0:
         raise ValueError("fraction must be in [0, 1]")
@@ -53,7 +58,8 @@ def deterministic_sample(df: DataFrame, fraction: float, key_col: str,
         # breaks the 8-char lexicographic comparison — keep-everything is free
         return df
     threshold = format(threshold_int, "08x")
-    return df.where(F.substring(_hash_hex(key_col, salt), 1, 8) < F.lit(threshold))
+    h = F.coalesce(_hash_hex(key_col, salt), F.lit(""))
+    return df.where(F.substring(h, 1, 8) < F.lit(threshold))
 
 
 def _quota_split(df: DataFrame, group_cols: list, quota: int, key_col: str,

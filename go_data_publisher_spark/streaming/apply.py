@@ -80,6 +80,38 @@ def _default_is_retriable(exc: BaseException) -> bool:
         from pyspark.errors.exceptions.captured import CapturedException
 
         if isinstance(exc, CapturedException):
+            # Known-PERMANENT JVM semantic shapes must not burn the backoff
+            # budget + the degrade ladder: bad arguments, cast/parse
+            # failures, arithmetic overflow, and merge-cardinality
+            # violations re-fail identically at every width.
+            try:
+                from pyspark.errors import (
+                    ArithmeticException,
+                    ArrayIndexOutOfBoundsException,
+                    DateTimeException,
+                    IllegalArgumentException,
+                    NumberFormatException,
+                )
+
+                if isinstance(exc, (ArithmeticException,
+                                    ArrayIndexOutOfBoundsException,
+                                    DateTimeException,
+                                    IllegalArgumentException,
+                                    NumberFormatException)):
+                    return False
+            except ImportError:
+                pass
+            try:
+                # Spark 4 name; getErrorClass is its deprecated alias
+                err_class = exc.getCondition() or ""
+            except Exception:
+                err_class = ""
+            _PERMANENT_CLASSES = ("MERGE_CARDINALITY_VIOLATION",
+                                  "CAST_OVERFLOW", "CAST_INVALID_INPUT",
+                                  "ARITHMETIC_OVERFLOW", "DIVIDE_BY_ZERO",
+                                  "NUMERIC_VALUE_OUT_OF_RANGE")
+            if any(err_class.startswith(p) for p in _PERMANENT_CLASSES):
+                return False
             return True  # non-analysis JVM exception surfaced via Spark
     except ImportError:
         pass
@@ -313,7 +345,9 @@ class ChangeApplier:
             if not self.retry.is_retriable(exc):
                 raise
             last = exc
-            width = max(1, tbl.n_buckets // 2)
+            # getattr: every supported backend stores n_buckets, but a
+            # minimal table contract without it degrades straight to serial
+            width = max(1, getattr(tbl, "n_buckets", 1) // 2)
             while True:
                 try:
                     out = attempt(width)

@@ -166,11 +166,16 @@ def run_stream_from(
     from pyspark.sql import functions as F
 
     spark = source.sparkSession
-    # zero-cost batch counters piggybacked on the stream pass (A5)
-    src = source.observe(
-        "cdc_batch", F.count(F.lit(1)).alias("rows"),
-        F.min("lsn").alias("lsn_min"), F.max("lsn").alias("lsn_max"),
-    )
+    # zero-cost batch counters piggybacked on the stream pass (A5).  The
+    # order column comes from the applier's table (not a hardcoded 'lsn') so
+    # sources whose order column has another name still pass analysis; a
+    # source that doesn't carry it at all gets row counts only.
+    order_col = getattr(applier.table, "order_col", "lsn")
+    obs_aggs = [F.count(F.lit(1)).alias("rows")]
+    if order_col in source.columns:
+        obs_aggs += [F.min(order_col).alias("lsn_min"),
+                     F.max(order_col).alias("lsn_max")]
+    src = source.observe("cdc_batch", *obs_aggs)
 
     listener = None
     progress_lines_at_start = 0

@@ -171,7 +171,9 @@ def main():
             )
         m2 = tbl.manifest()
         out["version"] = m2["version"]
-        out["live_files"] = m2["n_live_files"]
+        # older manifests (pre n_live_files counter) may still be CURRENT when
+        # no new commit was published by this run — fall back like history()
+        out["live_files"] = m2.get("n_live_files", len(m2["files"]))
         out["delta_files_per_bucket"] = tbl.delta_file_counts()
         print(json.dumps(out))
 

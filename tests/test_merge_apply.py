@@ -362,6 +362,44 @@ def test_retriability_is_a_whitelist(spark, tmpdir_path):
     assert not p.is_retriable(MismatchError("strict"))
 
 
+def test_retriability_excludes_permanent_jvm_shapes(spark):
+    """ADVICE r3: known-permanent JVM semantic failures surfaced as
+    CapturedException subclasses (bad argument, cast overflow, merge
+    cardinality) must NOT retry — they re-fail identically at every
+    backoff attempt and ladder width — while a real captured execution
+    failure stays retriable."""
+    from pyspark.errors import (
+        ArithmeticException,
+        IllegalArgumentException,
+        NumberFormatException,
+    )
+    from pyspark.errors.exceptions.captured import CapturedException
+
+    from go_data_publisher_spark.streaming.apply import RetryPolicy
+
+    p = RetryPolicy()
+    assert not p.is_retriable(IllegalArgumentException("bad arg"))
+    assert not p.is_retriable(NumberFormatException("not a number"))
+    assert not p.is_retriable(ArithmeticException("overflow"))
+
+    # a captured failure carrying a permanent error condition is terminal...
+    class FakeCaptured(CapturedException):
+        def __init__(self, cond):
+            self._cond = cond
+
+        def getCondition(self):
+            return self._cond
+
+        def __str__(self):
+            return self._cond
+
+    assert not p.is_retriable(FakeCaptured("MERGE_CARDINALITY_VIOLATION"))
+    assert not p.is_retriable(FakeCaptured("CAST_OVERFLOW"))
+    # ...but an IO/execution-shaped captured failure still retries
+    assert p.is_retriable(FakeCaptured("SHUFFLE_FETCH_FAILED"))
+    assert p.is_retriable(FakeCaptured(""))
+
+
 def test_merge_serial_write_parallelism_is_correct(spark, tmpdir_path):
     """write_parallelism=1 (the ladder's floor) produces the same committed
     state and keeps one file pair per bucket."""
