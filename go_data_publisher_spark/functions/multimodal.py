@@ -4,12 +4,15 @@ Decode kernels come in two tiers:
 
 - REAL codecs for container formats parseable with stdlib + numpy alone —
   netpbm images (P5 grayscale / P6 RGB), uncompressed 24-bit BMP (BI_RGB,
-  both bottom-up and top-down rasters, row padding handled), and RIFF/WAV
-  PCM audio (the `wave` stdlib module).  These are genuine decoders: the
-  test fixture encodes real rasters/waveforms and the features are computed
-  from the decoded samples, roundtrip-pinned by tests.
+  both bottom-up and top-down rasters, row padding handled), PNG (stdlib
+  zlib inflate + numpy scanline unfiltering; 8-bit gray / gray+alpha /
+  RGB / RGBA / palette, all five PNG filter types, CRC-verified chunks),
+  and RIFF/WAV PCM audio (the `wave` stdlib module).  These are genuine
+  decoders: the test fixture encodes real rasters/waveforms and the
+  features are computed from the decoded samples, roundtrip-pinned by
+  tests.
 - A deterministic STUB fallback for codecs whose libraries are not in this
-  container (JPEG/PNG via Pillow, MP3/FLAC via soundfile/librosa, video
+  container (JPEG via Pillow, MP3/FLAC via soundfile/librosa, video
   frames via PyAV).  The fallback is clearly marked; on a cluster with
   those libs, extend `_decode_image` / `_decode_audio` dispatch — the
   Spark-side plumbing (schema, partitioning, mapInPandas Arrow batch shape)
@@ -158,6 +161,187 @@ def decode_bmp(payload: bytes) -> tuple[int, int, np.ndarray]:
     return w, h, rgb.mean(axis=2).astype(np.uint8)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type → samples per pixel (8-bit depth, so bytes per pixel too)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+
+def _png_filter_row(ft: int, line: np.ndarray, prev: np.ndarray,
+                    bpp: int) -> np.ndarray:
+    """Forward PNG filter of one reconstructed scanline (encoder side).
+    All references are to RECONSTRUCTED bytes, so the forward direction is
+    fully vectorizable per row."""
+    a = np.zeros_like(line)
+    a[bpp:] = line[:-bpp]          # left neighbor (recon)
+    b = prev                       # up neighbor (recon)
+    c = np.zeros_like(line)
+    c[bpp:] = prev[:-bpp]          # upper-left neighbor (recon)
+    if ft == 0:
+        return line.copy()
+    if ft == 1:
+        return line - a
+    if ft == 2:
+        return line - b
+    if ft == 3:
+        return line - ((a.astype(np.uint16) + b) // 2).astype(np.uint8)
+    if ft == 4:
+        return line - _paeth(a, b, c)
+    raise ValueError(f"unknown PNG filter type {ft}")
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor (PNG spec §9.4) over uint8 arrays."""
+    ai, bi, ci = (x.astype(np.int16) for x in (a, b, c))
+    p = ai + bi - ci
+    pa, pb, pc = np.abs(p - ai), np.abs(p - bi), np.abs(p - ci)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+def encode_png(px: np.ndarray, filter_type: int = 0) -> bytes:
+    """8-bit PNG from a (h, w) gray or (h, w, ch) array (ch = 2 gray+alpha,
+    3 RGB, 4 RGBA).  ``filter_type`` selects the per-scanline forward filter
+    (0-4) so tests can pin every decode branch; real encoders pick per-row,
+    which the decoder handles identically."""
+    import struct
+    import zlib
+
+    px = np.ascontiguousarray(px, dtype=np.uint8)
+    if px.ndim == 2:
+        h, w, ch = *px.shape, 1
+    else:
+        h, w, ch = px.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    flat = px.reshape(h, w * ch)
+    prev = np.zeros(w * ch, dtype=np.uint8)
+    out = bytearray()
+    for y in range(h):
+        out.append(filter_type)
+        out += _png_filter_row(filter_type, flat[y], prev, ch).tobytes()
+        prev = flat[y]
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+            + _png_chunk(b"IEND", b""))
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse the per-scanline PNG filters: raw (h·(1+stride) bytes of
+    filter-type + filtered data) → (h, stride) reconstructed bytes.
+
+    None/Up are whole-row numpy ops; Sub is a lane-wise mod-256 cumsum;
+    Average/Paeth carry a left-neighbor dependency so they run one PIXEL at
+    a time (vector over the bpp channels) — row-local work, and the hot
+    production path for real corpora is Pillow anyway (this kernel makes
+    the format genuinely decodable with stdlib-only dependencies)."""
+    if raw.size != h * (1 + stride):
+        raise ValueError("PNG raster size mismatch")
+    rows = raw.reshape(h, 1 + stride)
+    fts, data = rows[:, 0], rows[:, 1:]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ft, line = int(fts[y]), data[y]
+        if ft == 0:
+            rec = line.copy()
+        elif ft == 1:  # Sub: lane-wise running sum mod 256
+            lanes = line.reshape(-1, bpp).astype(np.uint64)
+            rec = (lanes.cumsum(axis=0) % 256).astype(np.uint8).reshape(-1)
+        elif ft == 2:  # Up
+            rec = line + prev
+        elif ft in (3, 4):  # Average / Paeth: sequential left dependency
+            rec = np.zeros(stride, dtype=np.uint8)
+            zero = np.zeros(bpp, dtype=np.uint8)
+            for x in range(0, stride, bpp):
+                a = rec[x - bpp:x] if x else zero
+                b = prev[x:x + bpp]
+                if ft == 3:
+                    pred = ((a.astype(np.uint16) + b) // 2).astype(np.uint8)
+                else:
+                    c = prev[x - bpp:x] if x else zero
+                    pred = _paeth(a, b, c)
+                rec[x:x + bpp] = line[x:x + bpp] + pred
+        else:
+            raise ValueError(f"invalid PNG filter type {ft}")
+        out[y] = rec
+        prev = rec
+    return out
+
+
+def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """PNG → (width, height, luma uint8 matrix).  8-bit depth, color types
+    0/2/3/4/6, non-interlaced; chunk CRCs verified.  Alpha is dropped for
+    luma (consistent with the other kernels' channel-mean convention);
+    anything else (16-bit, Adam7) raises ValueError → the decode-skip path.
+    """
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, end = 8, len(payload)
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    while pos + 8 <= end:
+        length, tag = struct.unpack_from(">I4s", payload, pos)
+        body_at = pos + 8
+        if body_at + length + 4 > end:
+            raise ValueError("truncated PNG chunk")
+        body = payload[body_at:body_at + length]
+        crc = struct.unpack_from(">I", payload, body_at + length)[0]
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {tag!r}")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos = body_at + length + 4
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG variant (depth={depth}, interlace={interlace})")
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    if w <= 0 or h <= 0:
+        raise ValueError(f"malformed PNG dimensions ({w}x{h})")
+    ch = _PNG_CHANNELS[color_type]
+    try:
+        raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG IDAT stream: {exc}") from exc
+    px = _png_unfilter(raw, h, w * ch, ch).reshape(h, w, ch)
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("PNG palette image missing PLTE")
+        if int(px.max()) >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        px = plte[px[..., 0]]
+        ch = 3
+    elif color_type == 4:
+        px = px[..., :1]  # drop alpha
+        ch = 1
+    elif color_type == 6:
+        px = px[..., :3]  # drop alpha
+        ch = 3
+    luma = px[..., 0] if ch == 1 else px.mean(axis=2).astype(np.uint8)
+    return w, h, luma
+
+
 def encode_wav(pcm: np.ndarray, sample_rate: int) -> bytes:
     """float32 [-1, 1] mono → 16-bit PCM RIFF/WAV bytes."""
     buf = io.BytesIO()
@@ -190,7 +374,8 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 # ---------------------------------------------------------------------------
 
 def _decode_image_stub(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """STUB fallback for non-netpbm images (real path: PIL.Image.open).
+    """STUB fallback for non-netpbm/BMP/PNG images (real path:
+    PIL.Image.open — JPEG and friends need codec libs this container lacks).
     Derives deterministic (w, h, pixels) from the payload bytes so the
     downstream feature math stays exercised for opaque fixtures."""
     h64 = int.from_bytes(payload[:8].ljust(8, b"\0"), "little")
@@ -214,6 +399,8 @@ def _decode_image(payload: bytes) -> tuple[int, int, np.ndarray]:
         return decode_netpbm(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
     return _decode_image_stub(payload)
 
 
@@ -311,11 +498,15 @@ def _encode_media_row(mid: int, seed: int = 3) -> tuple[str, str, bytes]:
     if kind == "image":
         w, h = 16 + (mid * 7) % 48, 16 + (mid * 13) % 48
         rng = np.random.default_rng([seed, mid])
-        # alternate the two real raster codecs so the mapInPandas path
-        # exercises both dispatch branches
-        if (mid // 3) % 2:
+        # rotate the three real raster codecs so the mapInPandas path
+        # exercises every dispatch branch (PNG also rotates its filter type)
+        variant = (mid // 3) % 3
+        if variant == 1:
             px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
             return kind, "image/bmp", encode_bmp(px)
+        if variant == 2:
+            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            return kind, "image/png", encode_png(px, filter_type=mid % 5)
         px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
         return kind, "image/x-portable-graymap", encode_pgm(px)
     if kind == "audio":

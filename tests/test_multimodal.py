@@ -151,8 +151,8 @@ def test_bmp_roundtrip_and_variants():
 
 
 def test_bmp_flows_through_image_features(spark):
-    """The fixture now emits BMP payloads too; the mapInPandas feature
-    extractor must decode both raster codecs (mime tells which rows)."""
+    """The fixture rotates all three real raster codecs; the mapInPandas
+    feature extractor must decode every one (mime tells which rows)."""
     from go_data_publisher_spark.functions.multimodal import (
         extract_image_features,
         make_media_fixture,
@@ -161,7 +161,7 @@ def test_bmp_flows_through_image_features(spark):
     media = make_media_fixture(spark, n=36)
     imgs = media.where("kind = 'image'")
     mimes = {r["mime"] for r in imgs.select("mime").distinct().collect()}
-    assert mimes == {"image/x-portable-graymap", "image/bmp"}
+    assert mimes == {"image/x-portable-graymap", "image/bmp", "image/png"}
     feats = extract_image_features(imgs)
     # every image row decodes (no skips), real dimensions carried through
     assert feats.count() == imgs.count()
@@ -201,3 +201,135 @@ def test_bmp_malformed_headers_hit_skip_path():
     struct.pack_into("<i", zero_h, 22, 0)
     with pytest.raises(ValueError, match="dimensions"):
         decode_bmp(bytes(zero_h))
+
+
+def test_png_roundtrip_all_color_types_and_filters():
+    """Every (color type × forward filter) pair reconstructs pixel-exact
+    luma — pins the None/Sub/Up vector paths and the Average/Paeth
+    sequential paths of the unfilter kernel."""
+    from go_data_publisher_spark.functions.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(11)
+    for ch in (1, 2, 3, 4):  # gray, gray+alpha, RGB, RGBA
+        shape = (13, 17) if ch == 1 else (13, 17, ch)
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        if ch == 1:
+            want = px
+        elif ch == 2:
+            want = px[..., 0]
+        else:
+            want = px[..., :3].mean(axis=2).astype(np.uint8)
+        for ft in range(5):
+            w, h, luma = decode_png(encode_png(px, filter_type=ft))
+            assert (w, h) == (17, 13)
+            assert np.array_equal(luma, want), (ch, ft)
+
+
+def test_png_palette_decode():
+    """Color type 3: indices resolve through PLTE to RGB luma."""
+    import struct
+    import zlib
+
+    from go_data_publisher_spark.functions.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_png,
+    )
+
+    # 2x2 image over a 3-entry palette
+    palette = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8)
+    idx = np.array([[0, 1], [2, 0]], dtype=np.uint8)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    raster = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+    payload = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+               + _png_chunk(b"PLTE", palette.tobytes())
+               + _png_chunk(b"IDAT", zlib.compress(raster))
+               + _png_chunk(b"IEND", b""))
+    w, h, luma = decode_png(payload)
+    assert (w, h) == (2, 2)
+    want = palette[idx].mean(axis=2).astype(np.uint8)
+    assert np.array_equal(luma, want)
+
+    # out-of-range palette index → skip path, not a numpy IndexError
+    import pytest
+
+    bad = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+           + _png_chunk(b"PLTE", palette.tobytes())
+           + _png_chunk(b"IDAT", zlib.compress(b"\x00\x00\x09\x00\x02\x00"))
+           + _png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png(bad)
+
+
+def test_png_malformed_payloads_hit_skip_path():
+    """CRC corruption, truncation, unsupported variants and bad IDAT all
+    raise ValueError (decode-skip), never crash or emit garbage features."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from go_data_publisher_spark.functions.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_png,
+        encode_png,
+    )
+
+    px = np.arange(25, dtype=np.uint8).reshape(5, 5)
+    good = encode_png(px)
+
+    bad_crc = bytearray(good)
+    bad_crc[20] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad_crc))
+
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png(good[:30])
+
+    # 16-bit depth is declared unsupported
+    ihdr16 = struct.pack(">IIBBBBB", 5, 5, 16, 0, 0, 0, 0)
+    deep = (_PNG_SIG + _png_chunk(b"IHDR", ihdr16)
+            + _png_chunk(b"IDAT", zlib.compress(b"\x00" * (5 * 11)))
+            + _png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="unsupported PNG variant"):
+        decode_png(deep)
+
+    # corrupt deflate stream inside a CRC-valid IDAT chunk
+    ihdr = struct.pack(">IIBBBBB", 5, 5, 8, 0, 0, 0, 0)
+    junk = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", b"\xde\xad\xbe\xef")
+            + _png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="IDAT"):
+        decode_png(junk)
+
+    # invalid per-scanline filter type byte
+    raster = b"\x07" + bytes(5)  # filter 7 does not exist
+    badft = (_PNG_SIG + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 1, 8, 0, 0, 0, 0))
+             + _png_chunk(b"IDAT", zlib.compress(raster))
+             + _png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="filter type"):
+        decode_png(badft)
+
+
+def test_png_flows_through_image_features(spark):
+    """PNG fixture rows decode through the mapInPandas extractor with real
+    dimensions and luma recomputable from the fixture rule."""
+    from go_data_publisher_spark.functions.multimodal import (
+        extract_image_features,
+        make_media_fixture,
+    )
+
+    media = make_media_fixture(spark, n=36)
+    pngs = media.where("mime = 'image/png'")
+    n_png = pngs.count()
+    assert n_png > 0
+    feats = {r.media_id: r for r in extract_image_features(pngs).collect()}
+    assert len(feats) == n_png  # no skips
+    for mid, r in feats.items():
+        w, h = 16 + (mid * 7) % 48, 16 + (mid * 13) % 48
+        px = np.random.default_rng([3, mid]).integers(
+            0, 256, size=(h, w, 3), dtype=np.uint8)
+        want = float(px.mean(axis=2).astype(np.uint8).mean())
+        assert (r.width, r.height) == (w, h)
+        assert abs(r.mean_luma - want) < 1e-9
