@@ -432,6 +432,53 @@ SQL_ROUTE_PATCH = """
 """
 
 
+def q_mismatch_policy(spark, sf_dir):
+    """V4: the mismatch policy's continue-mode accounting — deterministically
+    corrupt a slice of the changelog (unknown op every 101st lsn, null key
+    every 97th), route it through the engine's split_valid guard, and report
+    per-epoch valid/quarantined counts (the numbers the lineage manifest and
+    the persisted skipped-key set record;
+    status-service/sync/tick_processor.go:238-249)."""
+    log = _as_changelog(_t(spark, sf_dir, "events"))
+    corrupted = log.withColumn(
+        "op", F.when(F.col("lsn") % 101 == 0, F.lit("X")).otherwise(F.col("op"))
+    ).withColumn(
+        "conv_id",
+        F.when(F.col("lsn") % 97 == 0, F.lit(None)).otherwise(F.col("conv_id")),
+    )
+    valid, quarantined = R.split_valid(corrupted)
+    tagged = valid.select("lsn", F.lit(1).alias("__v")).unionByName(
+        quarantined.select("lsn", F.lit(0).alias("__v"))
+    )
+    return (
+        tagged.groupBy(F.floor(F.col("lsn") / 1000).cast("long").alias("epoch"))
+        .agg(
+            F.sum("__v").cast("long").alias("n_valid"),
+            F.sum(1 - F.col("__v")).cast("long").alias("n_quarantined"),
+        )
+    )
+
+
+SQL_MISMATCH_POLICY = f"""
+  WITH log AS ({_CHANGELOG_SQL}),
+  corrupted AS (
+    SELECT lsn,
+           CASE WHEN lsn % 101 = 0 THEN 'X' ELSE op END AS op,
+           CASE WHEN lsn % 97 = 0 THEN NULL ELSE conv_id END AS conv_id,
+           turn_idx
+    FROM log
+  )
+  SELECT lsn // 1000 AS epoch,
+         CAST(SUM(CASE WHEN op IN ('I','U','D') AND conv_id IS NOT NULL
+                        AND turn_idx IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_valid,
+         CAST(SUM(CASE WHEN op IN ('I','U','D') AND conv_id IS NOT NULL
+                        AND turn_idx IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_quarantined
+  FROM corrupted GROUP BY 1
+"""
+
+
 def q_batch_stats(spark, sf_dir):
     """A5: batch/throughput counters ridden on the scan as an Observation
     (zero extra jobs — the reference's prometheus bulk-indexer stats,
@@ -937,6 +984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_trim": q_interval_trim,
         "route_filter": q_route_filter,
         "route_patch": q_route_patch,
+        "mismatch_policy": q_mismatch_policy,
         "batch_stats": q_batch_stats,
         "set_difference": q_set_difference,
         "count_equality": q_count_equality,
@@ -983,6 +1031,7 @@ def oracle_sql() -> dict[str, str]:
         "interval_trim": SQL_INTERVAL_TRIM,
         "route_filter": SQL_ROUTE_FILTER,
         "route_patch": SQL_ROUTE_PATCH,
+        "mismatch_policy": SQL_MISMATCH_POLICY,
         "batch_stats": SQL_BATCH_STATS,
         "set_difference": SQL_SET_DIFFERENCE,
         "count_equality": SQL_COUNT_EQUALITY,
