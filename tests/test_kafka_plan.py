@@ -112,3 +112,72 @@ def test_wire_batch_records_roundtrip_through_kafka_shape(spark):
     back = decode_kafka_records(produced, schema=df.schema)
     r = back.first()
     assert r["__key_tick"] == 5 and r["text"] == "héllo 🎉" and r["conv_id"] == "c5"
+
+
+def test_full_kafka_schema_stream_end_to_end_with_resume(spark, tmpdir_path):
+    """S6's last pre-broker seam, at runtime: a stream of records in the
+    FULL 7-column Kafka source shape (key/value/topic/partition/offset/
+    timestamp/timestampType) is tailed with readStream, decoded with
+    decode_kafka_records, and driven through run_stream_from to a merged
+    table — across an injected crash + checkpoint resume.  On a cluster,
+    only the file source swaps for `.format("kafka")`; every stage from the
+    decode down is exactly this code."""
+    import pandas as pd
+
+    from conftest import pandas_final_state
+    from go_data_publisher_spark.functions.codecs import le_uint32_key
+    from go_data_publisher_spark.lake.table import TranscriptTable
+    from go_data_publisher_spark.sources.changelog import (
+        generate_changelog,
+        write_changelog_stream_dir,
+    )
+    from go_data_publisher_spark.streaming.apply import ChangeApplier
+    from go_data_publisher_spark.streaming.pipeline import run_stream_from
+
+    log = generate_changelog(spark, 1500, n_convs=30, seed=37).persist()
+    # broker-twin encode: the reference producer's record layout
+    # (LE-uint32 tick key + JSON value, client.go:73-79) plus the
+    # broker-assigned source columns Spark's Kafka reader yields
+    kafka_shaped = log.select(
+        le_uint32_key(F.col("lsn")).alias("key"),
+        F.to_json(F.struct(*[F.col(c) for c in log.columns]))
+        .cast("binary").alias("value"),
+        F.lit("transcripts").alias("topic"),
+        F.pmod(F.col("lsn"), F.lit(4)).cast("int").alias("partition"),
+        F.col("lsn").alias("offset"),
+        F.col("ts").alias("timestamp"),
+        F.lit(0).alias("timestampType"),
+    )
+    src_dir = f"{tmpdir_path}/kafka_shaped"
+    write_changelog_stream_dir(kafka_shaped, src_dir, n_chunks=5,
+                               order_col="offset")
+
+    # static key/value consistency over the materialized records: the decoded
+    # LE-uint32 key must equal the envelope's lsn on every row
+    static = decode_kafka_records(spark.read.parquet(src_dir))
+    assert static.where("__key_tick <> lsn").count() == 0
+    assert static.where("__key_tick IS NULL").count() == 0
+
+    def source():
+        raw = (spark.readStream.schema(KAFKA_SOURCE_SCHEMA)
+               .option("maxFilesPerTrigger", 1).parquet(src_dir))
+        return decode_kafka_records(raw).drop("__key_tick")
+
+    tbl = TranscriptTable(spark, f"{tmpdir_path}/ktbl", n_buckets=4)
+    app = ChangeApplier(tbl)
+    ckpt = f"{tmpdir_path}/kckpt"
+
+    state1 = run_stream_from(source(), app, ckpt, fail_after_batches=2)
+    assert state1["applied"] == 2
+    state2 = run_stream_from(source(), app, ckpt)
+    assert state2["applied"] >= 1
+
+    snap = tbl.snapshot().orderBy("conv_id", "turn_idx").toPandas()
+    oracle = (pandas_final_state(log.toPandas())
+              .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    assert len(snap) == len(oracle) > 0
+    for col in ["conv_id", "turn_idx", "text", "lsn"]:
+        pd.testing.assert_series_equal(
+            snap[col], oracle[col], check_names=False, check_dtype=False, obj=col
+        )
+    log.unpersist()
