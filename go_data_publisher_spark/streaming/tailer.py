@@ -1,0 +1,129 @@
+"""CDC-out: a downstream consumer loop over the table's own change feed.
+
+The engine is not just a CDC sink — its merge-on-read tables serve a
+change feed (``TranscriptTable.changes``), and this module is the consumer
+that tails it the way the reference's consumers tail Kafka
+(transactions-consumer/main.go:94-149): poll a bounded window, apply it to
+the local sink, then — and only then — advance the persisted cursor.  The
+result is a second table kept equal to the source by incremental reads
+only (no snapshot re-scans), exactly-once in effect across crashes.
+
+Crash-safety is the composition of three pieces, mirroring the engine's
+own stream sink:
+
+1. a PENDING window record is persisted before the merge.  Without it, a
+   crash after the merge but before the cursor advance would let the retry
+   observe a GROWN window (new source commits) under the same epoch id —
+   the epoch guard would skip it as a replay and the growth would be lost.
+   With it, the retry re-applies exactly the recorded window.
+2. the target's epoch guard makes re-merging the recorded window a no-op
+   (``skipped_replay``).
+3. the cursor file is advanced with an atomic write-fsync-rename after the
+   merge commit (offsets-after-sink).
+
+Retention: the feed is served from delta files, which compaction folds
+away.  A tailer that has fallen behind the newest compaction of a touched
+bucket gets the table's documented ValueError; the tailer surfaces it as
+``ChangefeedRetentionError`` so operators re-seed the target from a
+snapshot instead of silently under-reporting (Iceberg/Delta CDF
+semantics).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from ..ioutil import atomic_write_json
+
+
+class ChangefeedRetentionError(RuntimeError):
+    """The tailer's window reaches behind a compaction on the source table:
+    the deltas it still needs are folded away.  Recovery is a re-seed (full
+    snapshot copy into a fresh target + cursor at the source's current
+    version), not a retry."""
+
+
+class ChangefeedTailer:
+    """Tail ``source.changes()`` into ``target`` with a persisted cursor.
+
+    ``cursor_path`` stores ``{"from_version", "next_epoch", "pending"}`` as
+    one atomically-replaced JSON file — the consumer-group offset store of
+    the reference, one file per (tailer, target) pair.  ``writer_id``
+    scopes the target's epoch guard to this tailer so its epochs are never
+    confused with the primary pipeline's.
+    """
+
+    def __init__(self, source, target, cursor_path: str,
+                 writer_id: str = "cdc-out"):
+        self.source = source
+        self.target = target
+        self.cursor_path = cursor_path
+        self.writer_id = writer_id
+
+    # -- cursor store -------------------------------------------------------
+
+    def _load(self) -> dict:
+        try:
+            with open(self.cursor_path) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {"from_version": 0, "next_epoch": 0, "pending": None}
+
+    def _store(self, cur: dict) -> None:
+        os.makedirs(os.path.dirname(self.cursor_path) or ".", exist_ok=True)
+        atomic_write_json(self.cursor_path, cur)
+
+    # -- the poll loop ------------------------------------------------------
+
+    def tick(self) -> dict:
+        """One poll: apply the next change window, advance the cursor.
+
+        Returns ``{"status": "idle"}`` when caught up, else the merge stats
+        plus the consumed ``(from_version, to_version]`` window."""
+        cur = self._load()
+        if cur.get("pending"):
+            # crash-recovery: re-apply exactly the recorded in-flight window
+            to_v = int(cur["pending"]["to_version"])
+        else:
+            to_v = int(self.source.manifest()["version"])
+            if to_v <= int(cur["from_version"]):
+                return {"status": "idle", "from_version": cur["from_version"]}
+            cur["pending"] = {"to_version": to_v}
+            self._store(cur)
+        from_v = int(cur["from_version"])
+        try:
+            feed = self.source.changes(from_v, to_v)
+        except ValueError as exc:
+            if "compaction" in str(exc):
+                raise ChangefeedRetentionError(
+                    f"tailer at version {from_v} fell behind source "
+                    f"compaction — re-seed the target from a snapshot: {exc}"
+                ) from exc
+            raise
+        epoch = int(cur["next_epoch"])
+        if feed.limit(1).count() == 0:
+            # metadata-only window (vacuum, no-op commits): advance the
+            # cursor without consuming an epoch — re-checking is idempotent
+            stats = {"status": "empty_window"}
+        else:
+            stats = self.target.merge(
+                feed.drop("commit_version"), epoch_id=epoch,
+                writer_id=self.writer_id,
+            )
+            cur["next_epoch"] = epoch + 1
+        cur["from_version"] = to_v
+        cur["pending"] = None
+        self._store(cur)
+        return {**stats, "from_version": from_v, "to_version": to_v}
+
+    def run_until_caught_up(self, max_ticks: int = 1000) -> list[dict]:
+        """Tick until the source has no unconsumed versions (the drain loop
+        a cron-scheduled CDC-out job runs)."""
+        out = []
+        for _ in range(max_ticks):
+            stats = self.tick()
+            if stats["status"] == "idle":
+                break
+            out.append(stats)
+        return out

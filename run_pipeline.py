@@ -9,6 +9,8 @@ Commands:
   batch     --source DIR --table DIR [--chunks K]       chunked batch replay
   verify    --source DIR --table DIR              full-replay equality check
   report    --table DIR [--lineage DIR]           progress/intervals/gaps JSON
+  tail      --source-table DIR --target-table DIR --cursor FILE
+            CDC-out: apply a table's change feed to a second table
   maintain  --table DIR [--compact-threshold N] [--vacuum-keep K]
             compaction + snapshot expiry (out-of-band maintenance)
   bench     (see bench.py / bench_scaling.py)
@@ -67,6 +69,16 @@ def main():
     r = sub.add_parser("report")
     r.add_argument("--table", required=True)
     r.add_argument("--lineage", default=None)
+
+    t = sub.add_parser("tail",
+                       help="CDC-out: tail a table's change feed into a "
+                            "second table with a persisted cursor")
+    t.add_argument("--source-table", required=True)
+    t.add_argument("--target-table", required=True)
+    t.add_argument("--cursor", required=True,
+                   help="path of the tailer's persisted cursor JSON")
+    t.add_argument("--buckets", type=int, default=32)
+    t.add_argument("--writer-id", default="cdc-out")
 
     m = sub.add_parser("maintain",
                        help="compaction + snapshot expiry (the reference's "
@@ -142,6 +154,20 @@ def main():
             got, expected, key=("conv_id", "turn_idx"), compare_cols=["text", "role", "lsn"]
         )
         print(json.dumps({"verified": True, **stats}))
+
+    elif args.cmd == "tail":
+        from go_data_publisher_spark.streaming.tailer import ChangefeedTailer
+
+        src_tbl = TranscriptTable(spark, args.source_table)
+        tgt_tbl = TranscriptTable(spark, args.target_table, n_buckets=args.buckets)
+        tailer = ChangefeedTailer(src_tbl, tgt_tbl, args.cursor,
+                                  writer_id=args.writer_id)
+        ticks = tailer.run_until_caught_up()
+        print(json.dumps({
+            "ticks": [{k: t[k] for k in ("status", "from_version", "to_version")
+                       if k in t} for t in ticks],
+            "target_rows": tgt_tbl.snapshot().count(),
+        }))
 
     elif args.cmd == "maintain":
         # tombstone expiry happens DURING the compaction rewrite — accepting

@@ -1,0 +1,154 @@
+"""CDC-out consumer loop: ChangefeedTailer composes the engine's own change
+feed the way a downstream reference consumer tails Kafka — persisted
+cursor, offsets-after-sink, replay-safe across crashes, loud retention
+error when compaction outruns it."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_data_publisher_spark.lake.table import TranscriptTable
+from go_data_publisher_spark.streaming.apply import ChangeApplier
+from go_data_publisher_spark.streaming.tailer import (
+    ChangefeedRetentionError,
+    ChangefeedTailer,
+)
+
+SCHEMA = (
+    "lsn long, op string, conv_id string, turn_idx int, role string, "
+    "text string, tool string, ts timestamp, schema_version int"
+)
+
+
+def _apply(spark, app, rows, epoch):
+    app.apply_batch(spark.createDataFrame(rows, SCHEMA), epoch_id=epoch)
+
+
+def _snap(tbl):
+    return sorted(map(tuple, tbl.snapshot().select(
+        "conv_id", "turn_idx", "lsn", "text").collect()))
+
+
+def _mk(spark, tmpdir_path, name, n_buckets=2):
+    return TranscriptTable(spark, f"{tmpdir_path}/{name}", n_buckets=n_buckets)
+
+
+def test_tailer_reaches_source_state(spark, tmpdir_path):
+    src = _mk(spark, tmpdir_path, "src")
+    app = ChangeApplier(src)
+    _apply(spark, app, [(1, "I", "c1", 0, "user", "a", None, None, 1),
+                        (2, "I", "c2", 0, "user", "b", None, None, 1)], 0)
+    _apply(spark, app, [(3, "U", "c1", 0, "user", "a2", None, None, 1),
+                        (4, "D", "c2", 0, "user", None, None, None, 1)], 1)
+
+    tgt = _mk(spark, tmpdir_path, "tgt")
+    tailer = ChangefeedTailer(src, tgt, f"{tmpdir_path}/cursor.json")
+    ticks = tailer.run_until_caught_up()
+    assert ticks and ticks[-1]["status"] == "committed"
+    assert tailer.tick()["status"] == "idle"
+    # tombstone flowed through the feed: c2 deleted in the copy too
+    assert _snap(tgt) == _snap(src) == [("c1", 0, 3, "a2")]
+
+    # incremental: new source commits flow without re-reading old windows
+    _apply(spark, app, [(5, "I", "c3", 1, "user", "c", None, None, 1)], 2)
+    stats = tailer.tick()
+    assert stats["status"] == "committed"
+    assert _snap(tgt) == _snap(src)
+
+
+def test_tailer_crash_between_merge_and_cursor_advance(spark, tmpdir_path):
+    """Kill after the target merge but before the cursor write; the retry
+    must re-apply the SAME recorded window (epoch guard no-ops it), even
+    though NEW source commits landed during the outage — the grown window
+    is consumed by the next tick under a fresh epoch, never skipped."""
+    src = _mk(spark, tmpdir_path, "src")
+    app = ChangeApplier(src)
+    _apply(spark, app, [(1, "I", "c1", 0, "user", "a", None, None, 1)], 0)
+
+    tgt = _mk(spark, tmpdir_path, "tgt")
+
+    class CrashingTailer(ChangefeedTailer):
+        def _store(self, cur):
+            if cur.get("pending") is None and not getattr(self, "_ok", False):
+                raise RuntimeError("injected crash before cursor advance")
+            super()._store(cur)
+
+    crasher = CrashingTailer(src, tgt, f"{tmpdir_path}/cursor.json")
+    with pytest.raises(RuntimeError, match="injected crash"):
+        crasher.tick()
+    # the merge itself committed; the cursor did not advance
+    assert _snap(tgt) == _snap(src)
+
+    # outage window: more source commits land
+    _apply(spark, app, [(2, "U", "c1", 0, "user", "a2", None, None, 1),
+                        (3, "I", "c2", 1, "user", "b", None, None, 1)], 1)
+
+    tailer = ChangefeedTailer(src, tgt, f"{tmpdir_path}/cursor.json")
+    ticks = tailer.run_until_caught_up()
+    # first tick replays the recorded pending window → skipped by the epoch
+    # guard; second tick consumes the growth under the next epoch
+    assert [t["status"] for t in ticks] == ["skipped_replay", "committed"]
+    assert _snap(tgt) == _snap(src)
+    assert len(_snap(tgt)) == 2
+
+
+def test_tailer_mid_tail_compaction_raises_retention_error(spark, tmpdir_path):
+    """A tailer that fell behind a source compaction must get the loud
+    retention error (the deltas it needs are folded away), not a silently
+    incomplete copy."""
+    src = _mk(spark, tmpdir_path, "src")
+    app = ChangeApplier(src)
+    _apply(spark, app, [(1, "I", "c1", 0, "user", "a", None, None, 1)], 0)
+
+    tgt = _mk(spark, tmpdir_path, "tgt")
+    tailer = ChangefeedTailer(src, tgt, f"{tmpdir_path}/cursor.json")
+    tailer.run_until_caught_up()
+
+    # tailer sleeps; source commits more, then compacts those deltas away
+    _apply(spark, app, [(2, "U", "c1", 0, "user", "a2", None, None, 1)], 1)
+    src.compact()
+    with pytest.raises(ChangefeedRetentionError, match="re-seed"):
+        tailer.tick()
+
+
+def test_tailer_caught_up_consumer_survives_compaction(spark, tmpdir_path):
+    """A compaction that folds only windows the tailer ALREADY consumed is
+    harmless: the next window is metadata-only/empty and the cursor simply
+    advances past it (folded_hwm semantics, no epoch consumed)."""
+    src = _mk(spark, tmpdir_path, "src")
+    app = ChangeApplier(src)
+    _apply(spark, app, [(1, "I", "c1", 0, "user", "a", None, None, 1)], 0)
+    _apply(spark, app, [(2, "U", "c1", 0, "user", "a2", None, None, 1)], 1)
+
+    tgt = _mk(spark, tmpdir_path, "tgt")
+    tailer = ChangefeedTailer(src, tgt, f"{tmpdir_path}/cursor.json")
+    tailer.run_until_caught_up()
+
+    src.compact()  # folds nothing the tailer still needs
+    stats = tailer.tick()
+    assert stats["status"] == "empty_window"
+    assert tailer.tick()["status"] == "idle"
+
+    # and the feed keeps flowing after the compaction
+    _apply(spark, app, [(3, "I", "c2", 1, "user", "b", None, None, 1)], 2)
+    assert tailer.tick()["status"] == "committed"
+    assert _snap(tgt) == _snap(src)
+
+
+def test_tailer_replays_to_oracle_over_generated_log(spark, tmpdir_path):
+    """End-to-end over the synthetic changelog: source replay → tailed copy
+    equals the source snapshot (the reference consumer's verify pass)."""
+    from go_data_publisher_spark.sources.changelog import generate_changelog
+    from go_data_publisher_spark.streaming.apply import replay_batch_range
+
+    log = generate_changelog(spark, 1200, n_convs=20, seed=43)
+    src = _mk(spark, tmpdir_path, "src", n_buckets=4)
+    app = ChangeApplier(src)
+    lo, hi = log.agg(F.min("lsn"), F.max("lsn")).first()
+    mid = (lo + hi) // 2
+    replay_batch_range(app, log, [(lo, mid), (mid + 1, hi)])
+
+    tgt = _mk(spark, tmpdir_path, "tgt", n_buckets=4)
+    tailer = ChangefeedTailer(src, tgt, f"{tmpdir_path}/cursor.json")
+    tailer.run_until_caught_up()
+    assert _snap(tgt) == _snap(src)
+    assert len(_snap(tgt)) > 0
