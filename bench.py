@@ -238,6 +238,76 @@ def bench_commit_metadata(spark, small_batch: int = 5_000,
         shutil.rmtree(root, ignore_errors=True)
 
 
+def bench_commit_buckets(spark, small_batch: int = 20_000,
+                         few_buckets: int = 16, many_buckets: int = 256) -> dict:
+    """Bucket-count evidence: commit wall time must stay ~flat as n_buckets
+    grows from a test (16) to a production (256) layout.  The driver-side
+    per-commit work is the footer-stat enumeration (≤ 2·n_buckets parquet
+    footer reads, now thread-pooled) + the O(batch) manifest delta; a serial
+    footer loop would make this section grow linearly with bucket count."""
+    from go_data_publisher_spark.lake.table import TranscriptTable
+    from go_data_publisher_spark.sources.changelog import generate_changelog
+    from go_data_publisher_spark.streaming.apply import ChangeApplier
+
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="cdc_buckets_", dir=scratch)
+    try:
+        small = generate_changelog(spark, small_batch, n_convs=2000, seed=17).persist()
+        small.count()
+        reps = max(REPEATS, 3)
+
+        def timed(n_buckets, name):
+            tbl = TranscriptTable(spark, f"{root}/{name}", n_buckets=n_buckets)
+            app = ChangeApplier(tbl)
+            app.apply_batch(small, epoch_id=0)  # warm-up, outside the timing
+            best = float("inf")
+            for rep in range(reps):
+                t0 = time.perf_counter()
+                stats = app.apply_batch(small, epoch_id=1 + rep)
+                assert stats["status"] == "committed", stats
+                best = min(best, time.perf_counter() - t0)
+            return best, tbl
+
+        def driver_metadata_phase(tbl):
+            """Re-measure JUST the driver-side per-commit metadata work of the
+            newest commit: thread-pooled footer-stat reads + a manifest fold —
+            the only merge phase that runs on the driver.  The remainder of
+            the commit is the Spark write job (more output files at more
+            buckets), which a cluster parallelizes across executors."""
+            from concurrent.futures import ThreadPoolExecutor
+
+            from go_data_publisher_spark.lake.table import _footer_stats
+
+            m = tbl.manifest()
+            newest = max(int(f.get("seq", 0)) for f in m["files"])
+            paths = [f["path"] for f in m["files"]
+                     if int(f.get("seq", 0)) == newest]
+            t0 = time.perf_counter()
+            with ThreadPoolExecutor(max_workers=min(16, len(paths))) as ex:
+                list(ex.map(lambda p: _footer_stats(p, "lsn"), paths))
+            tbl.manifest()
+            return time.perf_counter() - t0, len(paths)
+
+        s_few, t_few = timed(few_buckets, "few")
+        s_many, t_many = timed(many_buckets, "many")
+        meta_few, files_few = driver_metadata_phase(t_few)
+        meta_many, files_many = driver_metadata_phase(t_many)
+        small.unpersist()
+        return {
+            "small_batch_events": small_batch,
+            "few_buckets": few_buckets,
+            "many_buckets": many_buckets,
+            "few_buckets_commit_s": round(s_few, 3),
+            "many_buckets_commit_s": round(s_many, 3),
+            "ratio": round(s_many / s_few, 2),
+            "few_buckets_driver_metadata_s": round(meta_few, 3),
+            "many_buckets_driver_metadata_s": round(meta_many, 3),
+            "commit_files": {"few": files_few, "many": files_many},
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main():
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     spark = get_spark(app_name="bench", cores=CPUS)
@@ -261,6 +331,7 @@ def main():
 
     commit_cost = bench_commit_cost(spark)
     commit_metadata = bench_commit_metadata(spark)
+    commit_buckets = bench_commit_buckets(spark)
 
     print(
         json.dumps(
@@ -273,6 +344,7 @@ def main():
                 "merge_throughput": merge,
                 "commit_cost": commit_cost,
                 "commit_metadata": commit_metadata,
+                "commit_buckets": commit_buckets,
                 "cpus": CPUS,
             }
         )

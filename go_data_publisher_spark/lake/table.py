@@ -692,8 +692,18 @@ class TranscriptTable:
         # (measured 12s → 4s per write stage at 32 threads).  Deltas are
         # batch-sized and folded/compacted away, so scan-side row-group size
         # doesn't matter; compact() writes base files with the default.
-        n_write_tasks = min(self.n_buckets, write_parallelism) \
-            if write_parallelism else self.n_buckets
+        # Task count: hash-repartitioning ON __bucket keeps every bucket's
+        # rows inside ONE task regardless of task count, so the one-file-
+        # per-(bucket,del) layout is invariant — capping tasks at ~2× the
+        # cluster's parallelism only removes task-wave overhead when
+        # n_buckets ≫ cores (measured 2.9s → 1.2s for a 20k-event commit
+        # into 256 buckets on local[8]).  On a cluster with ≥ n_buckets
+        # cores the cap is inactive.
+        if write_parallelism:
+            n_write_tasks = min(self.n_buckets, write_parallelism)
+        else:
+            par = self.spark.sparkContext.defaultParallelism
+            n_write_tasks = min(self.n_buckets, max(1, par) * 2)
         (changes.repartition(n_write_tasks, "__bucket")
                 .write.mode("overwrite").option("parquet.block.size", 16 << 20)
                 .partitionBy("__bucket", "__del").parquet(out_dir))
@@ -704,8 +714,7 @@ class TranscriptTable:
         # same stats-from-manifest trick Iceberg uses, replacing a whole
         # post-write aggregation job per commit.
         sid = int(m["current_schema_id"])
-        new_files = []
-        per_bucket_map: dict[int, dict] = {}
+        entries: list[tuple[str, int, bool]] = []
         for bdir in sorted(os.listdir(out_dir)):
             if not bdir.startswith("__bucket="):
                 continue
@@ -715,21 +724,36 @@ class TranscriptTable:
                     continue
                 is_del = int(ddir.split("=")[1]) == 1
                 for name in sorted(os.listdir(f"{out_dir}/{bdir}/{ddir}")):
-                    if not name.endswith(".parquet"):
-                        continue
-                    path = f"{out_dir}/{bdir}/{ddir}/{name}"
-                    new_files.append({"path": path, "bucket": b,
-                                      "schema_id": sid, "kind": "delta", "seq": seq})
-                    n_rows, omin, omax = _footer_stats(path, self.order_col)
-                    st = per_bucket_map.setdefault(b, {
-                        "__bucket": b, "rows_upserted": 0, "rows_deleted": 0,
-                        "lsn_from": None, "lsn_to": None,
-                    })
-                    st["rows_deleted" if is_del else "rows_upserted"] += n_rows
-                    if omin is not None:
-                        st["lsn_from"] = omin if st["lsn_from"] is None else min(st["lsn_from"], omin)
-                    if omax is not None:
-                        st["lsn_to"] = omax if st["lsn_to"] is None else max(st["lsn_to"], omax)
+                    if name.endswith(".parquet"):
+                        entries.append(
+                            (f"{out_dir}/{bdir}/{ddir}/{name}", b, is_del))
+        new_files = [{"path": path, "bucket": b,
+                      "schema_id": sid, "kind": "delta", "seq": seq}
+                     for path, b, _ in entries]
+        # The footer reads are independent metadata fetches — thread-pooled:
+        # at a production bucket count (≥256) on remote storage a serial
+        # loop is the commit-latency tail (the reference's cursor write is
+        # O(1), status-service/db/store.go:144).  Results are folded in the
+        # original sorted order, so per_bucket stays deterministic.
+        if len(entries) > 4:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(16, len(entries))) as ex:
+                stats = list(ex.map(
+                    lambda e: _footer_stats(e[0], self.order_col), entries))
+        else:
+            stats = [_footer_stats(p, self.order_col) for p, _, _ in entries]
+        per_bucket_map: dict[int, dict] = {}
+        for (path, b, is_del), (n_rows, omin, omax) in zip(entries, stats):
+            st = per_bucket_map.setdefault(b, {
+                "__bucket": b, "rows_upserted": 0, "rows_deleted": 0,
+                "lsn_from": None, "lsn_to": None,
+            })
+            st["rows_deleted" if is_del else "rows_upserted"] += n_rows
+            if omin is not None:
+                st["lsn_from"] = omin if st["lsn_from"] is None else min(st["lsn_from"], omin)
+            if omax is not None:
+                st["lsn_to"] = omax if st["lsn_to"] is None else max(st["lsn_to"], omax)
         per_bucket = [per_bucket_map[b] for b in sorted(per_bucket_map)]
         touched = sorted(per_bucket_map)
         if batch_max_lsn is None and per_bucket:
