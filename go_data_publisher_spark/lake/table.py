@@ -351,7 +351,13 @@ class TranscriptTable:
         Iceberg-style snapshot log — retained versions stay readable with
         ``snapshot(version=...)``.  Cheap: reads each manifest JSON once, and
         all non-checkpoint manifests are O(commit-delta) small; ``n_files``
-        comes from the running ``n_live_files`` counter, no folding."""
+        comes from the running ``n_live_files`` counter, no folding.
+
+        Vacuum interaction: ``vacuum(keep_versions=k)`` removes manifests
+        below the keep floor (squashing each survivor's delta chain onto a
+        retained base), so history() shrinks to the kept suffix — a version
+        listed here is guaranteed readable, and one vacuumed away raises the
+        documented retention error from ``_load_raw``/``snapshot``."""
         out = []
         for v in self._retained_versions():
             m = self._load_raw(v)
