@@ -358,6 +358,94 @@ SQL_WINDOWED_COUNTS = """
 """
 
 
+def _ntz_sec(c):
+    """tz-free epoch seconds of an NTZ timestamp column (see
+    q_windowed_counts for why a session-timezone cast would break parity
+    with DuckDB's naive epoch())."""
+    return F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', "
+        f"CAST({c} AS TIMESTAMP_NTZ))"
+    )
+
+
+def q_sliding_counts(spark, sf_dir):
+    """Sliding event-time windows (6h window, 3h hop — each event lands in
+    exactly 2 overlapping windows), batch form of
+    streaming/windows.py:sliding_event_counts."""
+    from go_data_publisher_spark.streaming.windows import sliding_event_counts
+
+    ev = _t(spark, sf_dir, "events")
+    out = sliding_event_counts(
+        ev, ts_col="ts", window_duration="6 hours", slide_duration="3 hours",
+        keys=("event_type",), lsn_col="event_id",
+    )
+    return out.select(
+        _ntz_sec("window_start").alias("window_start_s"),
+        _ntz_sec("window_end").alias("window_end_s"),
+        "event_type",
+        "n_events",
+        F.col("min_lsn").alias("min_event_id"),
+        F.col("max_lsn").alias("max_event_id"),
+    )
+
+
+SQL_SLIDING_COUNTS = """
+  SELECT CAST((floor(epoch(ts) / 10800) - i.i) * 10800 AS BIGINT) AS window_start_s,
+         CAST((floor(epoch(ts) / 10800) - i.i) * 10800 + 21600 AS BIGINT) AS window_end_s,
+         event_type,
+         count(*) AS n_events,
+         min(event_id) AS min_event_id,
+         max(event_id) AS max_event_id
+  FROM events CROSS JOIN (VALUES (0), (1)) AS i(i)
+  GROUP BY 1, 2, 3
+"""
+
+
+def q_session_counts(spark, sf_dir):
+    """Session windows per user (activity bursts closed by 24h of silence),
+    batch form of streaming/windows.py:session_event_counts; DuckDB twin is
+    the classic gaps-and-islands formulation."""
+    from go_data_publisher_spark.streaming.windows import session_event_counts
+
+    ev = _t(spark, sf_dir, "events")
+    out = session_event_counts(
+        ev, ts_col="ts", gap_duration="24 hours",
+        keys=("user_id",), lsn_col="event_id",
+    )
+    return out.select(
+        _ntz_sec("session_start").alias("session_start_s"),
+        _ntz_sec("session_end").alias("session_end_s"),
+        "user_id",
+        "n_events",
+        F.col("min_lsn").alias("min_event_id"),
+        F.col("max_lsn").alias("max_event_id"),
+    )
+
+
+SQL_SESSION_COUNTS = """
+  WITH ordered AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN epoch(ts) - epoch(lag(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id)) > 86400
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+  ),
+  sess AS (
+    SELECT *, SUM(new_sess) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS UNBOUNDED PRECEDING) AS sid
+    FROM ordered
+  )
+  SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_s,
+         CAST(floor(epoch(max(ts))) + 86400 AS BIGINT) AS session_end_s,
+         user_id,
+         count(*) AS n_events,
+         min(event_id) AS min_event_id,
+         max(event_id) AS max_event_id
+  FROM sess GROUP BY user_id, sid
+"""
+
+
 def q_monotonicity(spark, sf_dir):
     """Q6 at scale: range-partitioned violation count + O(n_parts) boundary
     stitch — no global-window single-reducer pass (see
@@ -980,6 +1068,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_enrich": q_asof_enrich,
         "scd2_history": q_scd2_history,
         "windowed_counts": q_windowed_counts,
+        "sliding_counts": q_sliding_counts,
+        "session_counts": q_session_counts,
         "monotonicity": q_monotonicity,
         "interval_trim": q_interval_trim,
         "route_filter": q_route_filter,
@@ -1027,6 +1117,8 @@ def oracle_sql() -> dict[str, str]:
         "asof_enrich": SQL_ASOF_ENRICH,
         "scd2_history": SQL_SCD2_HISTORY,
         "windowed_counts": SQL_WINDOWED_COUNTS,
+        "sliding_counts": SQL_SLIDING_COUNTS,
+        "session_counts": SQL_SESSION_COUNTS,
         "monotonicity": SQL_MONOTONICITY,
         "interval_trim": SQL_INTERVAL_TRIM,
         "route_filter": SQL_ROUTE_FILTER,

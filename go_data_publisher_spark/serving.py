@@ -1,0 +1,166 @@
+"""S10: the status/progress serving surface over a lake table.
+
+The reference exposes ingest progress over HTTP+gRPC
+(status-service/rpc/server.go:104-151, status.proto:68-100: GetStatus,
+processed-interval lists, skipped-tick report).  SURVEY.md scoped gRPC out
+of the engine core; this module provides the same documents as (a) plain
+dicts for the CLI `report` command and (b) a minimal stdlib HTTP JSON
+endpoint (`ReportServer`) — enough for a dashboard or a health probe to
+consume without spark-submit access.
+
+Two cost tiers, deliberately separate:
+
+- ``/status`` is the manifest fast path — version, cursor, epoch state,
+  live-file count — served from one O(1) raw-manifest read, NO Spark job.
+  Safe to poll at health-check frequency.
+- ``/report`` runs the full progress document (snapshot row count, interval
+  union, gap scan, lineage totals) — a handful of Spark jobs; poll it like
+  a dashboard, not like a liveness probe.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+
+def build_status(tbl) -> dict:
+    """Manifest-only status (no Spark job): the reference's cheap GetStatus
+    fields (status-service/rpc/server.go:104-118)."""
+    m = tbl.manifest()
+    return {
+        "version": m["version"],
+        "cursor_lsn": m["cursor_lsn"],
+        "epoch_hwm": m["epoch_hwm"],
+        "epochs_recent": m["epochs_recent"],
+        "live_files": m.get("n_live_files", len(m["files"])),
+        "delta_files_per_bucket": tbl.delta_file_counts(),
+    }
+
+
+def build_report(spark, tbl, lineage_dir: str | None = None,
+                 quarantine_dir: str | None = None) -> dict:
+    """The full progress/intervals/gaps document (S10/Q7/Q8/A3 composed)."""
+    from .operators.sequencing import detect_gaps, group_intervals
+
+    m = tbl.manifest()
+    snap = tbl.snapshot()
+    intervals = group_intervals(
+        snap.withColumn("__all", F.lit(1)), ["__all"], "lsn"
+    ).first()
+    gaps = detect_gaps(
+        snap.withColumn("__all", F.lit(1)), ["__all"], "lsn", min_gap=1000
+    ).count()
+    report = {
+        "version": m["version"],
+        "cursor_lsn": m["cursor_lsn"],
+        "epoch_hwm": m["epoch_hwm"],
+        "epochs_recent": m["epochs_recent"],
+        "rows": snap.count(),
+        "lsn_range": [intervals["from_lsn"], intervals["to_lsn"]] if intervals else None,
+        "large_gaps": gaps,
+        "history": tbl.history()[-5:],
+    }
+    if lineage_dir:
+        lin = spark.read.json(lineage_dir)
+        report["lineage_epochs"] = lin.select("epoch_id").distinct().count()
+        report["rows_upserted_total"] = lin.agg(F.sum("rows_upserted")).first()[0]
+    # V4 persisted skipped-key set (served sorted, like the reference's
+    # status-service/db/store.go:109 read-back)
+    import os
+
+    qdir = quarantine_dir or f"{tbl.root}/_quarantine"
+    if os.path.isdir(qdir):
+        q = spark.read.parquet(qdir)
+        report["rows_skipped_total"] = q.count()
+        report["skipped_sample"] = [
+            {"conv_id": r["conv_id"], "turn_idx": r["turn_idx"], "lsn": r["lsn"]}
+            for r in q.orderBy("conv_id", "turn_idx", "lsn").limit(5).collect()
+        ]
+    return report
+
+
+class ReportServer:
+    """Minimal HTTP JSON endpoint over one table.
+
+    Routes: ``/healthz`` (constant), ``/status`` (manifest fast path),
+    ``/history`` (retained snapshot log), ``/report`` (full document, runs
+    Spark jobs).  Single Spark session shared across requests; requests are
+    served one at a time (Spark's driver is not a web worker pool — put a
+    cache/proxy in front for fan-out, exactly as the reference fronts its
+    status service).
+
+    Usage::
+
+        srv = ReportServer(spark, tbl, port=0)   # port 0 → ephemeral
+        srv.start()                              # background thread
+        ... GET http://127.0.0.1:{srv.port}/status ...
+        srv.shutdown()
+
+    or blocking: ``srv.serve_forever()`` (the CLI `serve` command).
+    """
+
+    def __init__(self, spark, tbl, port: int = 8080,
+                 lineage_dir: str | None = None):
+        from http.server import BaseHTTPRequestHandler, HTTPServer
+
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_GET(self):  # noqa: N802 (stdlib contract)
+                try:
+                    if self.path == "/healthz":
+                        body = {"ok": True}
+                    elif self.path == "/status":
+                        body = build_status(outer.tbl)
+                    elif self.path == "/history":
+                        body = {"history": outer.tbl.history()}
+                    elif self.path == "/report":
+                        body = build_report(outer.spark, outer.tbl,
+                                            lineage_dir=outer.lineage_dir)
+                    else:
+                        self.send_response(404)
+                        self.end_headers()
+                        return
+                    payload = json.dumps(body, default=str).encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(payload)))
+                    self.end_headers()
+                    self.wfile.write(payload)
+                except BrokenPipeError:
+                    pass
+                except Exception as exc:  # surface as 500, keep serving
+                    payload = json.dumps({"error": str(exc)}).encode()
+                    self.send_response(500)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(payload)))
+                    self.end_headers()
+                    self.wfile.write(payload)
+
+            def log_message(self, *_a):  # quiet: engine logs, not access logs
+                pass
+
+        self.spark = spark
+        self.tbl = tbl
+        self.lineage_dir = lineage_dir
+        self._httpd = HTTPServer(("127.0.0.1", port), Handler)
+        self.port = self._httpd.server_address[1]
+        self._thread = None
+
+    def start(self) -> None:
+        import threading
+
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True)
+        self._thread.start()
+
+    def serve_forever(self) -> None:
+        self._httpd.serve_forever()
+
+    def shutdown(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=5)

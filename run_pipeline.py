@@ -9,6 +9,7 @@ Commands:
   batch     --source DIR --table DIR [--chunks K]       chunked batch replay
   verify    --source DIR --table DIR              full-replay equality check
   report    --table DIR [--lineage DIR]           progress/intervals/gaps JSON
+  serve     --table DIR [--port N]                HTTP JSON status endpoint
   tail      --source-table DIR --target-table DIR --cursor FILE
             CDC-out: apply a table's change feed to a second table
   maintain  --table DIR [--compact-threshold N] [--vacuum-keep K]
@@ -69,6 +70,13 @@ def main():
     r = sub.add_parser("report")
     r.add_argument("--table", required=True)
     r.add_argument("--lineage", default=None)
+
+    sv = sub.add_parser("serve",
+                        help="HTTP JSON status endpoint over a table "
+                             "(/healthz /status /history /report)")
+    sv.add_argument("--table", required=True)
+    sv.add_argument("--port", type=int, default=8080)
+    sv.add_argument("--lineage", default=None)
 
     t = sub.add_parser("tail",
                        help="CDC-out: tail a table's change feed into a "
@@ -206,44 +214,21 @@ def main():
     elif args.cmd == "report":
         # status-service serving analogue (S10/Q7/Q8/A3): progress, intervals,
         # gaps and lineage as one JSON document
-        from go_data_publisher_spark.operators.sequencing import detect_gaps, group_intervals
+        from go_data_publisher_spark.serving import build_report
 
         tbl = TranscriptTable(spark, args.table)
-        m = tbl.manifest()
-        snap = tbl.snapshot()
-        intervals = group_intervals(
-            snap.withColumn("__all", F.lit(1)), ["__all"], "lsn"
-        ).first()
-        gaps = detect_gaps(
-            snap.withColumn("__all", F.lit(1)), ["__all"], "lsn", min_gap=1000
-        ).count()
-        report = {
-            "version": m["version"],
-            "cursor_lsn": m["cursor_lsn"],
-            "epoch_hwm": m["epoch_hwm"],
-            "epochs_recent": m["epochs_recent"],
-            "rows": snap.count(),
-            "lsn_range": [intervals["from_lsn"], intervals["to_lsn"]] if intervals else None,
-            "large_gaps": gaps,
-            "history": tbl.history()[-5:],
-        }
-        if args.lineage:
-            lin = spark.read.json(args.lineage)
-            report["lineage_epochs"] = lin.select("epoch_id").distinct().count()
-            report["rows_upserted_total"] = lin.agg(F.sum("rows_upserted")).first()[0]
-        # V4 persisted skipped-key set (served sorted, like the reference's
-        # status-service/db/store.go:109 read-back)
-        import os
-
-        qdir = f"{args.table}/_quarantine"
-        if os.path.isdir(qdir):
-            q = spark.read.parquet(qdir)
-            report["rows_skipped_total"] = q.count()
-            report["skipped_sample"] = [
-                {"conv_id": r["conv_id"], "turn_idx": r["turn_idx"], "lsn": r["lsn"]}
-                for r in q.orderBy("conv_id", "turn_idx", "lsn").limit(5).collect()
-            ]
+        report = build_report(spark, tbl, lineage_dir=args.lineage)
         print(json.dumps(report, default=str))
+
+    elif args.cmd == "serve":
+        # S10 HTTP form: the same documents over a stdlib JSON endpoint
+        # (/healthz /status /history /report)
+        from go_data_publisher_spark.serving import ReportServer
+
+        tbl = TranscriptTable(spark, args.table)
+        srv = ReportServer(spark, tbl, port=args.port, lineage_dir=args.lineage)
+        print(json.dumps({"serving": True, "port": srv.port}), flush=True)
+        srv.serve_forever()
 
 
 if __name__ == "__main__":

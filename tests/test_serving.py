@@ -1,0 +1,85 @@
+"""S10 HTTP serving surface: the status/report documents over stdlib HTTP
+(reference: status-service/rpc/server.go:104-151 GetStatus + interval
+report; SURVEY scoped gRPC out, HTTP JSON is the declared serving form)."""
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from go_data_publisher_spark.lake.table import TranscriptTable
+from go_data_publisher_spark.serving import ReportServer, build_report, build_status
+from go_data_publisher_spark.streaming.apply import ChangeApplier
+
+SCHEMA = (
+    "lsn long, op string, conv_id string, turn_idx int, role string, "
+    "text string, tool string, ts timestamp, schema_version int"
+)
+
+
+@pytest.fixture()
+def small_table(spark, tmpdir_path):
+    tbl = TranscriptTable(spark, f"{tmpdir_path}/tbl", n_buckets=2)
+    app = ChangeApplier(tbl, lineage_dir=f"{tmpdir_path}/lineage")
+    rows = [(i, "I", f"c{i % 3}", i % 4, "user", f"t{i}", None, None, 1)
+            for i in range(1, 21)]
+    app.apply_batch(spark.createDataFrame(rows, SCHEMA), epoch_id=0)
+    return tbl, f"{tmpdir_path}/lineage"
+
+
+def _get(port, path):
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}", timeout=30) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_build_status_is_manifest_only(small_table):
+    tbl, _ = small_table
+    s = build_status(tbl)
+    assert s["version"] >= 1 and s["cursor_lsn"] == 20
+    assert s["epoch_hwm"] == 0 and s["live_files"] > 0
+
+
+def test_http_endpoint_serves_all_routes(spark, small_table):
+    tbl, lineage = small_table
+    srv = ReportServer(spark, tbl, port=0, lineage_dir=lineage)
+    srv.start()
+    try:
+        st, health = _get(srv.port, "/healthz")
+        assert st == 200 and health == {"ok": True}
+
+        st, status = _get(srv.port, "/status")
+        assert st == 200
+        assert status["cursor_lsn"] == 20 and status["epoch_hwm"] == 0
+
+        st, hist = _get(srv.port, "/history")
+        assert st == 200 and len(hist["history"]) >= 1
+
+        st, report = _get(srv.port, "/report")
+        assert st == 200
+        assert report["rows"] == 12  # 3 convs x 4 turns
+        # snapshot holds last-wins winners: keys cycle every 12 lsns, so the
+        # surviving rows are lsn 9..20
+        assert [int(x) for x in report["lsn_range"]] == [9, 20]
+        assert report["lineage_epochs"] == 1
+
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _get(srv.port, "/nope")
+        assert exc.value.code == 404
+    finally:
+        srv.shutdown()
+
+
+def test_http_report_matches_cli_document(spark, small_table):
+    """The HTTP /report body is the same document the CLI report command
+    prints (one builder, two transports)."""
+    tbl, lineage = small_table
+    direct = json.loads(json.dumps(
+        build_report(spark, tbl, lineage_dir=lineage), default=str))
+    srv = ReportServer(spark, tbl, port=0, lineage_dir=lineage)
+    srv.start()
+    try:
+        _, served = _get(srv.port, "/report")
+    finally:
+        srv.shutdown()
+    assert served == direct
