@@ -333,8 +333,12 @@ def _load_cache() -> dict:
 
 
 def _save_cache(cache: dict) -> None:
-    with open(CACHE, "w") as f:
-        json.dump(cache, f, indent=1)
+    # atomic: a Ctrl-C/timeout landing mid-dump must not wipe hours of
+    # cached measurements (a torn file parses as {} on the next load)
+    sys.path.insert(0, "/root/repo")
+    from go_data_publisher_spark.ioutil import atomic_write_json
+
+    atomic_write_json(CACHE, cache)
 
 
 def write_bench_md(cache: dict) -> None:

@@ -301,6 +301,10 @@ def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
         if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
             raise ValueError(f"PNG chunk CRC mismatch in {tag!r}")
         if tag == b"IHDR":
+            if len(body) != 13:
+                # struct.error is not a ValueError — it would escape the
+                # decode-skip contract and kill the mapInPandas job
+                raise ValueError(f"malformed PNG IHDR length {len(body)}")
             ihdr = struct.unpack(">IIBBBBB", body)
         elif tag == b"PLTE":
             plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)

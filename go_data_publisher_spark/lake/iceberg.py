@@ -229,6 +229,13 @@ class IcebergTable:
 
         if self.is_epoch_committed(epoch_id, writer_id):
             return {"status": "skipped_replay", "epoch_id": epoch_id}
+        # fold + gap guard BEFORE the data commit (shared helper with the
+        # mini-lake): a permanent epoch gap must fail before paying the
+        # MERGE, not after
+        from .table import fold_epoch_state
+
+        hwm, recent = fold_epoch_state(
+            *self._epoch_state(writer_id), epoch_id, writer_id)
         if not deduped:
             from ..operators.dedup import last_wins
 
@@ -262,23 +269,6 @@ class IcebergTable:
         if batch_max_lsn is None:
             row = changes.selectExpr(f"max({self.order_col}) m").first()
             batch_max_lsn = row["m"]
-        hwm, recent = self._epoch_state(writer_id)
-        recent = recent | {int(epoch_id)}
-        while hwm + 1 in recent:
-            hwm += 1
-            recent.discard(hwm)
-        # same bounded-state guard as TranscriptTable._commit: epoch ids are
-        # contiguous per writer, so an ever-growing recent set means a
-        # permanent gap — fail loudly instead of growing the cdc.epoch.recent
-        # property without bound
-        from .table import TranscriptTable as _T
-
-        if len(recent) > _T._MAX_EPOCHS_RECENT:
-            raise RuntimeError(
-                f"writer {writer_id!r} has {len(recent)} committed epochs "
-                f"above its high watermark {hwm} — the epoch id space has a "
-                f"permanent gap; epoch ids must be contiguous per writer"
-            )
         cursor = max(self.cursor_lsn(),
                      int(batch_max_lsn) if batch_max_lsn is not None else -1)
         hwm_p, rec_p = self._epoch_props(writer_id)

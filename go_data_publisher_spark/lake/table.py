@@ -97,6 +97,33 @@ def _footer_stats(path: str, order_col: str):
     return md.num_rows, lo, hi
 
 
+# epoch ids are expected contiguous per writer; a permanent gap would grow
+# the recent set with every commit, so the fold fails loud long before the
+# metadata bloats
+MAX_EPOCHS_RECENT = 100_000
+
+
+def fold_epoch_state(hwm: int, recent: set, epoch_id: int,
+                     writer_id: str = "default") -> tuple[int, set]:
+    """Fold a newly-committed epoch into a writer's bounded (hwm, recent)
+    replay-guard state: collapse the contiguous prefix into the high
+    watermark and enforce the permanent-gap bound.  ONE implementation
+    shared by the mini-lake commit and the Iceberg property update, so the
+    two backends cannot diverge."""
+    hwm = int(hwm)
+    recent = set(recent) | {int(epoch_id)}
+    while hwm + 1 in recent:
+        hwm += 1
+        recent.discard(hwm)
+    if len(recent) > MAX_EPOCHS_RECENT:
+        raise RuntimeError(
+            f"writer {writer_id!r} has {len(recent)} committed epochs "
+            f"above its high watermark {hwm} — the epoch id space has a "
+            f"permanent gap; epoch ids must be contiguous per writer"
+        )
+    return hwm, recent
+
+
 class OverlapConflictError(ValueError):
     """D5 conflict branch: a batch interval overlaps a stored interval with a
     different lower bound (reference: tick-intervals-consumer/consume/
@@ -815,7 +842,7 @@ class TranscriptTable:
     # epoch ids are expected contiguous per writer (foreachBatch guarantees
     # it); a permanent gap would grow the recent set with every commit, so
     # fail loud long before the manifest bloats
-    _MAX_EPOCHS_RECENT = 100_000
+    _MAX_EPOCHS_RECENT = MAX_EPOCHS_RECENT
 
     # a named writer whose last commit is older than this is dropped from the
     # manifest's writers map at the next commit — Delta's
@@ -831,18 +858,9 @@ class TranscriptTable:
         cursor = max(int(m["cursor_lsn"]), int(batch_max_lsn)) if batch_max_lsn is not None \
             else int(m["cursor_lsn"])
         # bounded epoch state: fold the new epoch into the writer's
-        # hwm + recent set
-        hwm, recent = self._writer_state(m, writer_id)
-        recent = recent | {int(epoch_id)}
-        while hwm + 1 in recent:
-            hwm += 1
-            recent.discard(hwm)
-        if len(recent) > self._MAX_EPOCHS_RECENT:
-            raise RuntimeError(
-                f"writer {writer_id!r} has {len(recent)} committed epochs "
-                f"above its high watermark {hwm} — the epoch id space has a "
-                f"permanent gap; epoch ids must be contiguous per writer"
-            )
+        # hwm + recent set (shared helper — same guard as the Iceberg backend)
+        hwm0, recent0 = self._writer_state(m, writer_id)
+        hwm, recent = fold_epoch_state(hwm0, recent0, epoch_id, writer_id)
         now = time.time()
         extra = {"cursor_lsn": cursor}
         # expire stale named writers (entries without a timestamp are legacy:

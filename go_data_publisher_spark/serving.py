@@ -67,17 +67,29 @@ def build_report(spark, tbl, lineage_dir: str | None = None,
         report["lineage_epochs"] = lin.select("epoch_id").distinct().count()
         report["rows_upserted_total"] = lin.agg(F.sum("rows_upserted")).first()[0]
     # V4 persisted skipped-key set (served sorted, like the reference's
-    # status-service/db/store.go:109 read-back)
+    # status-service/db/store.go:109 read-back).  A clean run's quarantine
+    # dir holds ONLY the per-epoch marker files (underscore-prefixed, which
+    # the parquet reader treats as hidden) — reading it would raise
+    # UNABLE_TO_INFER_SCHEMA, so probe for data files first, same as
+    # ChangeApplier.skipped_keys.
     import os
 
     qdir = quarantine_dir or f"{tbl.root}/_quarantine"
     if os.path.isdir(qdir):
-        q = spark.read.parquet(qdir)
-        report["rows_skipped_total"] = q.count()
-        report["skipped_sample"] = [
-            {"conv_id": r["conv_id"], "turn_idx": r["turn_idx"], "lsn": r["lsn"]}
-            for r in q.orderBy("conv_id", "turn_idx", "lsn").limit(5).collect()
-        ]
+        has_data = any(
+            name.endswith(".parquet")
+            for _d, _s, files in os.walk(qdir) for name in files
+        )
+        if has_data:
+            q = spark.read.parquet(qdir)
+            report["rows_skipped_total"] = q.count()
+            report["skipped_sample"] = [
+                {"conv_id": r["conv_id"], "turn_idx": r["turn_idx"], "lsn": r["lsn"]}
+                for r in q.orderBy("conv_id", "turn_idx", "lsn").limit(5).collect()
+            ]
+        else:
+            report["rows_skipped_total"] = 0
+            report["skipped_sample"] = []
     return report
 
 
@@ -109,35 +121,33 @@ class ReportServer:
 
         class Handler(BaseHTTPRequestHandler):
             def do_GET(self):  # noqa: N802 (stdlib contract)
+                # COMPUTE fully before writing a single response byte, so a
+                # compute failure becomes a clean 500 and a socket failure
+                # never triggers a second status line on the same connection
                 try:
                     if self.path == "/healthz":
-                        body = {"ok": True}
+                        status, body = 200, {"ok": True}
                     elif self.path == "/status":
-                        body = build_status(outer.tbl)
+                        status, body = 200, build_status(outer.tbl)
                     elif self.path == "/history":
-                        body = {"history": outer.tbl.history()}
+                        status, body = 200, {"history": outer.tbl.history()}
                     elif self.path == "/report":
-                        body = build_report(outer.spark, outer.tbl,
-                                            lineage_dir=outer.lineage_dir)
+                        status, body = 200, build_report(
+                            outer.spark, outer.tbl,
+                            lineage_dir=outer.lineage_dir)
                     else:
-                        self.send_response(404)
-                        self.end_headers()
-                        return
-                    payload = json.dumps(body, default=str).encode()
-                    self.send_response(200)
-                    self.send_header("Content-Type", "application/json")
-                    self.send_header("Content-Length", str(len(payload)))
-                    self.end_headers()
-                    self.wfile.write(payload)
-                except BrokenPipeError:
-                    pass
+                        status, body = 404, {"error": "not found"}
                 except Exception as exc:  # surface as 500, keep serving
-                    payload = json.dumps({"error": str(exc)}).encode()
-                    self.send_response(500)
+                    status, body = 500, {"error": str(exc)}
+                payload = json.dumps(body, default=str).encode()
+                try:
+                    self.send_response(status)
                     self.send_header("Content-Type", "application/json")
                     self.send_header("Content-Length", str(len(payload)))
                     self.end_headers()
                     self.wfile.write(payload)
+                except OSError:
+                    pass  # client went away mid-write; nothing to salvage
 
             def log_message(self, *_a):  # quiet: engine logs, not access logs
                 pass

@@ -95,10 +95,13 @@ class ChangefeedTailer:
         try:
             feed = self.source.changes(from_v, to_v)
         except ValueError as exc:
-            if "compaction" in str(exc):
+            # both retention shapes translate: a compaction folded the
+            # window's deltas away, or a vacuum expired the recorded
+            # pending/to manifest itself ("not retained") during an outage
+            if "compaction" in str(exc) or "retained" in str(exc):
                 raise ChangefeedRetentionError(
                     f"tailer at version {from_v} fell behind source "
-                    f"compaction — re-seed the target from a snapshot: {exc}"
+                    f"retention — re-seed the target from a snapshot: {exc}"
                 ) from exc
             raise
         epoch = int(cur["next_epoch"])

@@ -152,3 +152,34 @@ def test_tailer_replays_to_oracle_over_generated_log(spark, tmpdir_path):
     tailer.run_until_caught_up()
     assert _snap(tgt) == _snap(src)
     assert len(_snap(tgt)) > 0
+
+
+def test_tailer_pending_window_vacuumed_raises_retention_error(spark, tmpdir_path):
+    """The OTHER retention shape: a crash leaves a pending window whose
+    to_version manifest is expired by vacuum during the outage — the tailer
+    must surface the same ChangefeedRetentionError (re-seed guidance), not
+    the raw not-retained ValueError."""
+    import json
+
+    src = _mk(spark, tmpdir_path, "src")
+    app = ChangeApplier(src)
+    _apply(spark, app, [(1, "I", "c1", 0, "user", "a", None, None, 1)], 0)
+
+    tgt = _mk(spark, tmpdir_path, "tgt")
+    cursor = f"{tmpdir_path}/cursor.json"
+    tailer = ChangefeedTailer(src, tgt, cursor)
+    tailer.run_until_caught_up()
+    caught_up_v = json.load(open(cursor))["from_version"]
+
+    # outage: two more source commits; the crash had recorded a pending
+    # window ending at the FIRST of them
+    _apply(spark, app, [(2, "U", "c1", 0, "user", "a2", None, None, 1)], 1)
+    pending_v = src.manifest()["version"]
+    _apply(spark, app, [(3, "I", "c2", 1, "user", "b", None, None, 1)], 2)
+    json.dump({"from_version": caught_up_v, "next_epoch": 1,
+               "pending": {"to_version": pending_v}}, open(cursor, "w"))
+
+    # vacuum expires the pending manifest itself (keep only the newest)
+    src.vacuum(keep_versions=1, orphan_grace_seconds=0)
+    with pytest.raises(ChangefeedRetentionError, match="re-seed"):
+        tailer.tick()

@@ -333,3 +333,26 @@ def test_png_flows_through_image_features(spark):
         want = float(px.mean(axis=2).astype(np.uint8).mean())
         assert (r.width, r.height) == (w, h)
         assert abs(r.mean_luma - want) < 1e-9
+
+
+def test_png_short_ihdr_is_valueerror_not_struct_error():
+    """A CRC-valid IHDR with the wrong body length must raise ValueError
+    (decode-skip), not struct.error (which would escape _DECODE_ERRORS and
+    kill the mapInPandas job)."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from go_data_publisher_spark.functions.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_png,
+    )
+
+    short_ihdr = struct.pack(">IIBBBB", 5, 5, 8, 0, 0, 0)  # 12 bytes, not 13
+    bad = (_PNG_SIG + _png_chunk(b"IHDR", short_ihdr)
+           + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 30))
+           + _png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="IHDR length"):
+        decode_png(bad)

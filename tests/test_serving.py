@@ -20,8 +20,12 @@ SCHEMA = (
 
 @pytest.fixture()
 def small_table(spark, tmpdir_path):
+    # quarantine_dir configured like the CLI does: a CLEAN run still creates
+    # the dir with per-epoch marker files only — the state that used to
+    # crash build_report with UNABLE_TO_INFER_SCHEMA
     tbl = TranscriptTable(spark, f"{tmpdir_path}/tbl", n_buckets=2)
-    app = ChangeApplier(tbl, lineage_dir=f"{tmpdir_path}/lineage")
+    app = ChangeApplier(tbl, lineage_dir=f"{tmpdir_path}/lineage",
+                        quarantine_dir=f"{tmpdir_path}/tbl/_quarantine")
     rows = [(i, "I", f"c{i % 3}", i % 4, "user", f"t{i}", None, None, 1)
             for i in range(1, 21)]
     app.apply_batch(spark.createDataFrame(rows, SCHEMA), epoch_id=0)
@@ -61,6 +65,10 @@ def test_http_endpoint_serves_all_routes(spark, small_table):
         # snapshot holds last-wins winners: keys cycle every 12 lsns, so the
         # surviving rows are lsn 9..20
         assert [int(x) for x in report["lsn_range"]] == [9, 20]
+        # clean run: quarantine dir exists with marker files only — the
+        # report must serve an explicit zero, not crash on schema inference
+        assert report["rows_skipped_total"] == 0
+        assert report["skipped_sample"] == []
         assert report["lineage_epochs"] == 1
 
         with pytest.raises(urllib.error.HTTPError) as exc:
