@@ -66,8 +66,13 @@ from pyspark.sql import functions as F
 
 import os
 cores, n_events, n_chunks = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+# spark.default.parallelism pinned like shuffle partitions: the merge's
+# write-task cap reads it, so leaving it at the core count would give the
+# two levels DIFFERENT write plans (fewer task waves at low cores) and
+# measure the plan change, not the thread scaling
 spark = get_spark(app_name=f"scalebench-{cores}", cores=cores, shuffle_partitions=32,
-                  extra_conf={"spark.driver.memory": "48g"})
+                  extra_conf={"spark.driver.memory": "48g",
+                              "spark.default.parallelism": "32"})
 log = generate_changelog(spark, n_events, n_convs=max(200, n_events // 500),
                          seed=42, n_partitions=32).persist()
 cnt = log.count()
@@ -446,7 +451,8 @@ last-wins dedup → bucketed LSN-guarded merge-on-read delta commits with
 atomic manifest swaps + per-partition lineage) run at two parallelism levels
 on the same input ({N_EVENTS:,} logical events, seed 42, {N_CHUNKS}
 microbatches), plans pinned identical (32 shuffle partitions / 32 input
-partitions) at every level; only executor-thread count varies.  Best of
+partitions / default parallelism 32, so the merge's write-task cap resolves
+the same at every level); only executor-thread count varies.  Best of
 {REPEATS} interleaved runs per level.
 
 | step (N → 4N) | wall sec | throughput | speedup | raw eff | host ceiling (eff) | normalized eff |
