@@ -124,6 +124,15 @@ def fold_epoch_state(hwm: int, recent: set, epoch_id: int,
     return hwm, recent
 
 
+class RetentionLostError(ValueError):
+    """The requested history is gone: a change window reaches behind a
+    compaction that folded its deltas away, or a time-travel version was
+    expired by vacuum.  Subclasses ValueError so existing broad handlers
+    keep working; consumers that need to distinguish retention loss (the
+    tailer's re-seed path) catch this type instead of matching message
+    text."""
+
+
 class OverlapConflictError(ValueError):
     """D5 conflict branch: a batch interval overlaps a stored interval with a
     different lower bound (reference: tick-intervals-consumer/consume/
@@ -280,7 +289,7 @@ class TranscriptTable:
         except FileNotFoundError:
             retained = self._retained_versions()
             oldest = retained[0] if retained else None
-            raise ValueError(
+            raise RetentionLostError(
                 f"version {version} is not retained (removed by vacuum); "
                 f"oldest retained version is {oldest}"
             ) from None
@@ -839,11 +848,6 @@ class TranscriptTable:
                 f"with different lower bound"
             )
 
-    # epoch ids are expected contiguous per writer (foreachBatch guarantees
-    # it); a permanent gap would grow the recent set with every commit, so
-    # fail loud long before the manifest bloats
-    _MAX_EPOCHS_RECENT = MAX_EPOCHS_RECENT
-
     # a named writer whose last commit is older than this is dropped from the
     # manifest's writers map at the next commit — Delta's
     # setTransactionRetentionDuration: long-lived tables would otherwise
@@ -1018,6 +1022,32 @@ class TranscriptTable:
         # away plus the base files it wrote — never the untouched buckets
         self._publish(m, files_added=new_files, files_removed=folded_paths)
 
+    def has_changes(self, from_version: int, to_version: int | None = None) -> bool:
+        """Manifest-only emptiness probe for a change window — True iff
+        ``changes(from_version, to_version)`` would return any rows.  Costs
+        one manifest fold and ZERO Spark jobs, so a polling consumer (the
+        CDC-out tailer) can detect metadata-only windows (vacuum, no-op
+        commits) without scanning anything.
+
+        Runs the SAME retention check as changes(): a window whose deltas
+        were folded away by compaction raises RetentionLostError here too —
+        returning False for it would let a poller silently skip lost
+        changes."""
+        m = self.manifest(to_version)
+        to_v = int(m["version"])
+        in_window = [f for f in m["files"]
+                     if from_version < int(f.get("seq", 0)) <= to_v]
+        lost = [f for f in in_window
+                if f.get("kind", "base") != "delta"
+                and int(f.get("folded_hwm", int(f.get("seq", 1)) - 1)) > from_version]
+        if lost:
+            raise RetentionLostError(
+                f"change window ({from_version}, {to_v}] lost versions up to "
+                f"{lost[0].get('folded_hwm')} to compaction (base seq "
+                f"{lost[0]['seq']}); changes are retained only until compaction"
+            )
+        return any(f.get("kind", "base") == "delta" for f in in_window)
+
     def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Incremental read / change data feed: the raw change rows (upserts
         AND delete tombstones, with ``op`` and the committing version) of
@@ -1046,7 +1076,7 @@ class TranscriptTable:
                 if f.get("kind", "base") != "delta"
                 and int(f.get("folded_hwm", int(f.get("seq", 1)) - 1)) > from_version]
         if lost:
-            raise ValueError(
+            raise RetentionLostError(
                 f"change window ({from_version}, {to_v}] lost versions up to "
                 f"{lost[0].get('folded_hwm')} to compaction (base seq "
                 f"{lost[0]['seq']}); changes are retained only until compaction"

@@ -98,10 +98,10 @@ class ReportServer:
 
     Routes: ``/healthz`` (constant), ``/status`` (manifest fast path),
     ``/history`` (retained snapshot log), ``/report`` (full document, runs
-    Spark jobs).  Single Spark session shared across requests; requests are
-    served one at a time (Spark's driver is not a web worker pool — put a
-    cache/proxy in front for fan-out, exactly as the reference fronts its
-    status service).
+    Spark jobs).  Threaded: the cheap routes answer while a slow /report is
+    in flight; one Spark session is shared (job submission is thread-safe).
+    The driver is still not a web worker pool — put a cache/proxy in front
+    for real fan-out, exactly as the reference fronts its status service.
 
     Usage::
 
@@ -115,7 +115,7 @@ class ReportServer:
 
     def __init__(self, spark, tbl, port: int = 8080,
                  lineage_dir: str | None = None):
-        from http.server import BaseHTTPRequestHandler, HTTPServer
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
         outer = self
 
@@ -155,7 +155,13 @@ class ReportServer:
         self.spark = spark
         self.tbl = tbl
         self.lineage_dir = lineage_dir
-        self._httpd = HTTPServer(("127.0.0.1", port), Handler)
+        # Threading: /healthz and /status (no Spark job) must answer while a
+        # slow /report (several Spark jobs) is in flight, or a liveness
+        # probe flaps unhealthy exactly when the service is doing normal
+        # work.  Spark job submission is thread-safe; concurrent /report
+        # calls just queue in the scheduler.
+        self._httpd = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+        self._httpd.daemon_threads = True
         self.port = self._httpd.server_address[1]
         self._thread = None
 

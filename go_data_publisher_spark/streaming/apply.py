@@ -102,8 +102,11 @@ def _default_is_retriable(exc: BaseException) -> bool:
             except ImportError:
                 pass
             try:
-                # Spark 4 name; getErrorClass is its deprecated alias
-                err_class = exc.getCondition() or ""
+                # Spark 4 name, falling back to the 3.x name so the
+                # permanent-class detection doesn't silently no-op there
+                getter = getattr(exc, "getCondition", None) \
+                    or getattr(exc, "getErrorClass", None)
+                err_class = (getter() if getter else "") or ""
             except Exception:
                 err_class = ""
             _PERMANENT_CLASSES = ("MERGE_CARDINALITY_VIOLATION",

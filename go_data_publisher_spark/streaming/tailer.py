@@ -92,41 +92,57 @@ class ChangefeedTailer:
             cur["pending"] = {"to_version": to_v}
             self._store(cur)
         from_v = int(cur["from_version"])
+        from ..lake.table import RetentionLostError
+
         try:
-            feed = self.source.changes(from_v, to_v)
-        except ValueError as exc:
-            # both retention shapes translate: a compaction folded the
-            # window's deltas away, or a vacuum expired the recorded
-            # pending/to manifest itself ("not retained") during an outage
-            if "compaction" in str(exc) or "retained" in str(exc):
-                raise ChangefeedRetentionError(
-                    f"tailer at version {from_v} fell behind source "
-                    f"retention — re-seed the target from a snapshot: {exc}"
-                ) from exc
-            raise
-        epoch = int(cur["next_epoch"])
-        if feed.limit(1).count() == 0:
-            # metadata-only window (vacuum, no-op commits): advance the
-            # cursor without consuming an epoch — re-checking is idempotent
-            stats = {"status": "empty_window"}
-        else:
-            stats = self.target.merge(
-                feed.drop("commit_version"), epoch_id=epoch,
-                writer_id=self.writer_id,
-            )
-            cur["next_epoch"] = epoch + 1
+            # manifest-only emptiness probe first (zero Spark jobs on the
+            # polling hot path); both retention shapes — compaction folded
+            # the window's deltas, or vacuum expired the recorded pending
+            # manifest during an outage — surface typed from the table
+            probe = getattr(self.source, "has_changes", None)
+            if probe is not None and not probe(from_v, to_v):
+                # metadata-only window (vacuum, no-op commits): advance the
+                # cursor without consuming an epoch — re-checking is
+                # idempotent
+                stats = {"status": "empty_window"}
+            else:
+                feed = self.source.changes(from_v, to_v)
+                if probe is None and feed.limit(1).count() == 0:
+                    stats = {"status": "empty_window"}
+                else:
+                    events = feed.drop("commit_version")
+                    # source schema evolution flows through: the feed rows
+                    # carry the source's CURRENT schema, so widen/extend the
+                    # target first or merge() would silently project the new
+                    # columns away (same order as ChangeApplier.apply_batch)
+                    self.target.evolve_schema(events.drop("op").schema)
+                    epoch = int(cur["next_epoch"])
+                    stats = self.target.merge(
+                        events, epoch_id=epoch, writer_id=self.writer_id,
+                    )
+                    cur["next_epoch"] = epoch + 1
+        except RetentionLostError as exc:
+            raise ChangefeedRetentionError(
+                f"tailer at version {from_v} fell behind source "
+                f"retention — re-seed the target from a snapshot: {exc}"
+            ) from exc
         cur["from_version"] = to_v
         cur["pending"] = None
         self._store(cur)
         return {**stats, "from_version": from_v, "to_version": to_v}
 
-    def run_until_caught_up(self, max_ticks: int = 1000) -> list[dict]:
+    def run_until_caught_up(self, max_ticks: int = 1000) -> dict:
         """Tick until the source has no unconsumed versions (the drain loop
-        a cron-scheduled CDC-out job runs)."""
-        out = []
+        a cron-scheduled CDC-out job runs).
+
+        Returns ``{"ticks": [...], "caught_up": bool}`` — ``caught_up`` is
+        False when ``max_ticks`` ran out with windows still unconsumed, so
+        a bounded drain (cron budget) is never mistaken for a current copy.
+        """
+        ticks = []
         for _ in range(max_ticks):
             stats = self.tick()
             if stats["status"] == "idle":
-                break
-            out.append(stats)
-        return out
+                return {"ticks": ticks, "caught_up": True}
+            ticks.append(stats)
+        return {"ticks": ticks, "caught_up": False}

@@ -170,10 +170,11 @@ def main():
         tgt_tbl = TranscriptTable(spark, args.target_table, n_buckets=args.buckets)
         tailer = ChangefeedTailer(src_tbl, tgt_tbl, args.cursor,
                                   writer_id=args.writer_id)
-        ticks = tailer.run_until_caught_up()
+        out = tailer.run_until_caught_up()
         print(json.dumps({
             "ticks": [{k: t[k] for k in ("status", "from_version", "to_version")
-                       if k in t} for t in ticks],
+                       if k in t} for t in out["ticks"]],
+            "caught_up": out["caught_up"],
             "target_rows": tgt_tbl.snapshot().count(),
         }))
 

@@ -42,8 +42,8 @@ def test_tailer_reaches_source_state(spark, tmpdir_path):
 
     tgt = _mk(spark, tmpdir_path, "tgt")
     tailer = ChangefeedTailer(src, tgt, f"{tmpdir_path}/cursor.json")
-    ticks = tailer.run_until_caught_up()
-    assert ticks and ticks[-1]["status"] == "committed"
+    out = tailer.run_until_caught_up()
+    assert out["caught_up"] and out["ticks"][-1]["status"] == "committed"
     assert tailer.tick()["status"] == "idle"
     # tombstone flowed through the feed: c2 deleted in the copy too
     assert _snap(tgt) == _snap(src) == [("c1", 0, 3, "a2")]
@@ -83,10 +83,11 @@ def test_tailer_crash_between_merge_and_cursor_advance(spark, tmpdir_path):
                         (3, "I", "c2", 1, "user", "b", None, None, 1)], 1)
 
     tailer = ChangefeedTailer(src, tgt, f"{tmpdir_path}/cursor.json")
-    ticks = tailer.run_until_caught_up()
+    out = tailer.run_until_caught_up()
     # first tick replays the recorded pending window → skipped by the epoch
     # guard; second tick consumes the growth under the next epoch
-    assert [t["status"] for t in ticks] == ["skipped_replay", "committed"]
+    assert out["caught_up"]
+    assert [t["status"] for t in out["ticks"]] == ["skipped_replay", "committed"]
     assert _snap(tgt) == _snap(src)
     assert len(_snap(tgt)) == 2
 
@@ -183,3 +184,47 @@ def test_tailer_pending_window_vacuumed_raises_retention_error(spark, tmpdir_pat
     src.vacuum(keep_versions=1, orphan_grace_seconds=0)
     with pytest.raises(ChangefeedRetentionError, match="re-seed"):
         tailer.tick()
+
+
+def test_tailer_flows_source_schema_evolution(spark, tmpdir_path):
+    """Columns added to the source by schema evolution must reach the
+    CDC-out copy — merge projects onto the TARGET schema, so the tailer
+    evolves the target from the feed before merging."""
+    src = _mk(spark, tmpdir_path, "src")
+    app = ChangeApplier(src)
+    _apply(spark, app, [(1, "I", "c1", 0, "user", "a", None, None, 1)], 0)
+
+    tgt = _mk(spark, tmpdir_path, "tgt")
+    tailer = ChangefeedTailer(src, tgt, f"{tmpdir_path}/cursor.json")
+    assert tailer.run_until_caught_up()["caught_up"]
+
+    # source evolves: v2 events carry an extra column
+    v2 = spark.createDataFrame(
+        [(2, "U", "c1", 0, "user", "a2", None, None, 2, "extra-val")],
+        SCHEMA + ", extra string")
+    app.apply_batch(v2, epoch_id=1)
+    assert "extra" in [f.name for f in src.schema.fields]
+
+    assert tailer.tick()["status"] == "committed"
+    assert "extra" in [f.name for f in tgt.schema.fields]
+    row = tgt.snapshot().where("conv_id = 'c1'").first()
+    assert row["extra"] == "extra-val" and row["text"] == "a2"
+
+
+def test_tailer_bounded_drain_reports_not_caught_up(spark, tmpdir_path):
+    """A drain bounded by max_ticks must say so — success-shaped output
+    while arbitrarily stale hides an outage."""
+    src = _mk(spark, tmpdir_path, "src")
+    app = ChangeApplier(src)
+    for e in range(3):
+        _apply(spark, app,
+               [(e + 1, "I", f"c{e}", 0, "user", "x", None, None, 1)], e)
+        # one commit per epoch → 3 unconsumed windows? No: the tailer
+        # consumes (cursor, CURRENT] in ONE window — so bound to 0 ticks
+    tgt = _mk(spark, tmpdir_path, "tgt")
+    tailer = ChangefeedTailer(src, tgt, f"{tmpdir_path}/cursor.json")
+    out = tailer.run_until_caught_up(max_ticks=0)
+    assert out == {"ticks": [], "caught_up": False}
+    out = tailer.run_until_caught_up()
+    assert out["caught_up"] and len(out["ticks"]) == 1
+    assert _snap(tgt) == _snap(src)

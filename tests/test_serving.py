@@ -91,3 +91,30 @@ def test_http_report_matches_cli_document(spark, small_table):
     finally:
         srv.shutdown()
     assert served == direct
+
+
+def test_healthz_answers_while_report_runs(spark, small_table):
+    """Threaded server: the liveness route must answer while a slow /report
+    (Spark jobs) is in flight — a probe timing out during normal work would
+    flap the service unhealthy."""
+    import threading
+    import time
+
+    tbl, lineage = small_table
+    srv = ReportServer(spark, tbl, port=0, lineage_dir=lineage)
+    srv.start()
+    try:
+        t0 = time.time()
+        report_done = []
+        th = threading.Thread(
+            target=lambda: report_done.append(_get(srv.port, "/report")))
+        th.start()
+        # while the report's Spark jobs run, healthz must return quickly
+        st, health = _get(srv.port, "/healthz")
+        dt = time.time() - t0
+        th.join(timeout=60)
+        assert st == 200 and health == {"ok": True}
+        assert report_done and report_done[0][0] == 200
+        assert dt < 30  # generous; single-threaded would serialize fully
+    finally:
+        srv.shutdown()
