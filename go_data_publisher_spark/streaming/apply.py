@@ -228,7 +228,13 @@ class ChangeApplier:
         # the consume loop the same way, A5).  The valid-lsn bounds are NOT
         # observed here: merge() derives them from parquet footer statistics,
         # so aggregating them per row would be dead work on the hot path.
-        vp = validity_predicate()
+        # key/order columns come from the TABLE's declared contract, not
+        # hardcoded names — an applier over a table keyed/ordered differently
+        # (custom key, order_col='seq') validates and dedups on its own
+        # columns
+        key = tuple(self.table.key)
+        order = (self.table.order_col,)
+        vp = validity_predicate(key_cols=key)
         # Unique observation name per invocation: a previously-registered
         # observation with the same name (e.g. an aborted strict-mode attempt
         # of the same epoch) would otherwise receive this run's metrics and
@@ -240,7 +246,7 @@ class ChangeApplier:
             obs,
             F.sum(F.when(~F.coalesce(vp, F.lit(False)), 1).otherwise(0)).alias("nq"),
         )
-        valid, quarantined = split_valid(observed)
+        valid, quarantined = split_valid(observed, key_cols=key)
 
         if self.on_invalid == "error":
             # strict mode pays one extra (pushdown-pruned) job to abort
@@ -263,8 +269,9 @@ class ChangeApplier:
             self.retry.run(lambda: self.ephemeral_table.evolve_schema(batch_schema))
         target_schema = self.table.schema
 
-        dedup = last_wins_salted(valid, n_salts=self.n_salts) if self.salted \
-            else last_wins(valid)
+        dedup = last_wins_salted(valid, key=key, order=order,
+                                 n_salts=self.n_salts) if self.salted \
+            else last_wins(valid, key=key, order=order)
 
         # project winners into target schema + op (lsn records the applied
         # version; columns missing from an old-schema batch become null)
@@ -384,7 +391,7 @@ class ChangeApplier:
 
         if not self.quarantine_dir or os.path.exists(self._quarantine_marker(epoch_id)):
             return {}
-        vp = validity_predicate()
+        vp = validity_predicate(key_cols=tuple(self.table.key))
         bad = batch.where(~F.coalesce(vp, F.lit(False)))
         n = bad.count()
         if n:

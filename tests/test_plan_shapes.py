@@ -128,3 +128,29 @@ def test_quota_window_consumes_boundary_filter_not_full_scan(spark):
     import re
     filt = re.search(r"Filter .*__below", opt)
     assert filt is not None, "boundary filter missing from the optimized plan"
+
+
+def test_sliding_window_agg_has_partial_aggregation(spark):
+    """Sliding windows stay inside the partial→exchange→final hash-agg shape
+    (the window structs are emitted BEFORE the aggregate, so map-side
+    combine applies and shuffle volume is rows × overlap, not history)."""
+    from go_data_publisher_spark.streaming.windows import sliding_event_counts
+
+    log = generate_changelog(spark, 2000, seed=9).where("ts is not null")
+    plan = _plan(sliding_event_counts(
+        log, ts_col="ts", window_duration="1 hour",
+        slide_duration="30 minutes", keys=("conv_id",)))
+    assert "partial_count" in plan or "partial_min" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_session_window_agg_is_time_local(spark):
+    """Session windows shuffle on (session candidate, key) — one exchange,
+    no global sort of the whole stream."""
+    from go_data_publisher_spark.streaming.windows import session_event_counts
+
+    log = generate_changelog(spark, 2000, seed=9).where("ts is not null")
+    plan = _plan(session_event_counts(
+        log, ts_col="ts", gap_duration="5 minutes", keys=("conv_id",)))
+    assert "Exchange hashpartitioning" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort

@@ -131,3 +131,29 @@ def test_run_stream_from_composes_with_any_source(spark, tmpdir_path):
     a = sorted(map(tuple, t1.snapshot().collect()))
     b = sorted(map(tuple, t2.snapshot().collect()))
     assert a == b and len(a) > 0
+
+
+def test_run_stream_from_derives_observe_column_from_table(spark, tmpdir_path):
+    """ADVICE r3: the stream's observed order column comes from the
+    applier's table, so a source whose order column is not named 'lsn'
+    passes analysis and merges correctly."""
+    from pyspark.sql import functions as F
+
+    from go_data_publisher_spark.streaming.pipeline import run_stream_from
+
+    schema = ("seq long, op string, conv_id string, turn_idx int, "
+              "role string, text string")
+    rows = [(i, "I", f"c{i % 4}", i % 3, "user", f"t{i}") for i in range(1, 31)]
+    src_dir = f"{tmpdir_path}/seqsrc"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src_dir)
+
+    tbl = TranscriptTable(spark, f"{tmpdir_path}/seqtbl", n_buckets=2,
+                          schema=spark.createDataFrame([], schema).drop("op").schema,
+                          order_col="seq")
+    app = ChangeApplier(tbl)
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    state = run_stream_from(stream, app, f"{tmpdir_path}/seqckpt")
+    assert state["applied"] >= 1
+    snap = tbl.snapshot()
+    assert snap.count() == 12  # 4 convs x 3 turns
+    assert snap.agg(F.max("seq")).first()[0] == 30
