@@ -96,3 +96,32 @@ def test_change_feed_caught_up_consumer_survives_compaction(spark, tmpdir_path):
     # timestamp travel resolves the compaction manifest (committed_at stamped)
     import time as _t
     assert tbl.version_as_of(_t.time()) == tbl.manifest()["version"]
+
+
+def test_has_changes_agrees_with_changes_everywhere(spark, tmpdir_path):
+    """The manifest-only emptiness probe must agree with the real feed at
+    EVERY retained from_version across merges and a compaction — same
+    emptiness verdict, and the same retention error on lost windows (a
+    False on a lost window would let a poller skip changes silently)."""
+    from go_data_publisher_spark.lake.table import RetentionLostError
+
+    tbl = TranscriptTable(spark, f"{tmpdir_path}/tbl", n_buckets=2)
+    app = ChangeApplier(tbl)
+    _apply(spark, app, [(1, "I", "c1", 0, "user", "a", None, None, 1)], 0)
+    _apply(spark, app, [(2, "U", "c1", 0, "user", "b", None, None, 1)], 1)
+    tbl.compact()
+    _apply(spark, app, [(3, "I", "c2", 1, "user", "c", None, None, 1)], 2)
+    cur = tbl.manifest()["version"]
+
+    checked_raise = checked_value = 0
+    for v in range(0, cur + 1):
+        try:
+            probe = tbl.has_changes(v)
+        except RetentionLostError:
+            with pytest.raises(RetentionLostError):
+                tbl.changes(v)
+            checked_raise += 1
+            continue
+        assert probe == (tbl.changes(v).count() > 0), f"from_version {v}"
+        checked_value += 1
+    assert checked_raise >= 1 and checked_value >= 2
