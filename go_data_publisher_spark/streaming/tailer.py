@@ -131,6 +131,80 @@ class ChangefeedTailer:
         self._store(cur)
         return {**stats, "from_version": from_v, "to_version": to_v}
 
+    def reseed(self) -> dict:
+        """Recovery from ChangefeedRetentionError: make the target equal the
+        source's CURRENT snapshot and restart the cursor there.
+
+        One batch, two halves, applied through the normal merge (so the
+        epoch guard and crash protocol keep holding):
+
+        - every snapshot row as an upsert carrying its stored order value —
+          re-applying rows the target already has is a no-op under the LSN
+          guard, so only the genuinely-missed changes do work;
+        - a delete tombstone for every target key absent from the snapshot
+          (rows whose source delete the tailer missed), stamped with the
+          source cursor (≥ any stored order value; D out-ranks I/U at equal
+          order, so it always wins).
+
+        After the merge the cursor jumps to the snapshot's version; changes
+        committed on the source during the reseed are picked up by the next
+        regular tick."""
+        from pyspark.sql import functions as F
+
+        from ..lake.table import RetentionLostError
+
+        cur = self._load()
+        # same crash protocol as tick(): pin (version, epoch) BEFORE the
+        # merge.  A crash between the merge and the cursor store replays
+        # against the PINNED snapshot version (time travel), so the retry
+        # can never jump the cursor past windows the skipped merge didn't
+        # apply.  next_epoch advances with the record; if the pinned version
+        # is itself vacuumed before the retry, the reseed restarts fresh
+        # under the next epoch (the abandoned one stays in the guard's
+        # recent set — bounded by reseed-failure count).
+        pend = cur.get("pending_reseed")
+        if pend:
+            ver, epoch = int(pend["to_version"]), int(pend["epoch"])
+        else:
+            ver = int(self.source.manifest()["version"])
+            epoch = int(cur["next_epoch"])
+            cur["pending_reseed"] = {"to_version": ver, "epoch": epoch}
+            cur["next_epoch"] = epoch + 1
+            self._store(cur)
+        try:
+            m = self.source.manifest(ver)
+            snap = self.source.snapshot(version=ver)
+        except RetentionLostError:
+            # the pinned version vanished mid-recovery: restart fresh
+            cur["pending_reseed"] = None
+            self._store(cur)
+            return self.reseed()
+        self.target.evolve_schema(snap.schema)
+
+        key = list(self.target.key)
+        order_col = self.target.order_col
+        cursor_lsn = int(m.get("cursor_lsn", -1))
+        ups = snap.withColumn("op", F.lit("I"))
+        gone = (self.target.snapshot()
+                .join(snap.select(*key), on=key, how="left_anti"))
+        cols = []
+        for f in ups.schema.fields:
+            if f.name == "op":
+                cols.append(F.lit("D").alias("op"))
+            elif f.name == order_col:
+                cols.append(F.lit(cursor_lsn).cast(f.dataType).alias(f.name))
+            elif f.name in gone.columns:
+                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        dels = gone.select(*cols)
+
+        stats = self.target.merge(ups.unionByName(dels), epoch_id=epoch,
+                                  writer_id=self.writer_id)
+        self._store({"from_version": ver, "next_epoch": int(cur["next_epoch"]),
+                     "pending": None})
+        return {**stats, "reseeded_to_version": ver}
+
     def run_until_caught_up(self, max_ticks: int = 1000) -> dict:
         """Tick until the source has no unconsumed versions (the drain loop
         a cron-scheduled CDC-out job runs).

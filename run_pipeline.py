@@ -87,6 +87,10 @@ def main():
                    help="path of the tailer's persisted cursor JSON")
     t.add_argument("--buckets", type=int, default=32)
     t.add_argument("--writer-id", default="cdc-out")
+    t.add_argument("--reseed", action="store_true",
+                   help="recover a tailer that fell behind source retention:"
+                        " make the target equal the current source snapshot"
+                        " and restart the cursor there before tailing")
 
     m = sub.add_parser("maintain",
                        help="compaction + snapshot expiry (the reference's "
@@ -170,13 +174,17 @@ def main():
         tgt_tbl = TranscriptTable(spark, args.target_table, n_buckets=args.buckets)
         tailer = ChangefeedTailer(src_tbl, tgt_tbl, args.cursor,
                                   writer_id=args.writer_id)
+        reseed_stats = tailer.reseed() if args.reseed else None
         out = tailer.run_until_caught_up()
-        print(json.dumps({
+        doc = {
             "ticks": [{k: t[k] for k in ("status", "from_version", "to_version")
                        if k in t} for t in out["ticks"]],
             "caught_up": out["caught_up"],
             "target_rows": tgt_tbl.snapshot().count(),
-        }))
+        }
+        if reseed_stats is not None:
+            doc["reseeded_to_version"] = reseed_stats["reseeded_to_version"]
+        print(json.dumps(doc))
 
     elif args.cmd == "maintain":
         # tombstone expiry happens DURING the compaction rewrite — accepting

@@ -228,3 +228,73 @@ def test_tailer_bounded_drain_reports_not_caught_up(spark, tmpdir_path):
     out = tailer.run_until_caught_up()
     assert out["caught_up"] and len(out["ticks"]) == 1
     assert _snap(tgt) == _snap(src)
+
+
+def test_reseed_recovers_from_retention_loss(spark, tmpdir_path):
+    """After falling behind compaction, reseed() makes the target equal the
+    source snapshot — including deletes the tailer missed — and the feed
+    flows again from there."""
+    src = _mk(spark, tmpdir_path, "src")
+    app = ChangeApplier(src)
+    _apply(spark, app, [(1, "I", "c1", 0, "user", "a", None, None, 1),
+                        (2, "I", "c2", 0, "user", "b", None, None, 1)], 0)
+
+    tgt = _mk(spark, tmpdir_path, "tgt")
+    tailer = ChangefeedTailer(src, tgt, f"{tmpdir_path}/cursor.json")
+    assert tailer.run_until_caught_up()["caught_up"]
+
+    # outage: an update AND a delete land, then compaction folds them away
+    _apply(spark, app, [(3, "U", "c1", 0, "user", "a2", None, None, 1),
+                        (4, "D", "c2", 0, "user", None, None, None, 1)], 1)
+    src.compact()
+    with pytest.raises(ChangefeedRetentionError):
+        tailer.tick()
+
+    stats = tailer.reseed()
+    assert stats["status"] == "committed"
+    assert _snap(tgt) == _snap(src) == [("c1", 0, 3, "a2")]  # c2 deleted
+
+    assert tailer.tick()["status"] == "idle"
+    _apply(spark, app, [(5, "I", "c3", 1, "user", "c", None, None, 1)], 2)
+    assert tailer.tick()["status"] == "committed"
+    assert _snap(tgt) == _snap(src)
+
+
+def test_reseed_crash_before_cursor_store_replays_pinned_version(spark, tmpdir_path):
+    """A crash between the reseed merge and the cursor store must replay
+    against the PINNED snapshot version — commits landing during the
+    recovery outage are consumed by the next tick, never jumped over."""
+    src = _mk(spark, tmpdir_path, "src")
+    app = ChangeApplier(src)
+    _apply(spark, app, [(1, "I", "c1", 0, "user", "a", None, None, 1)], 0)
+
+    tgt = _mk(spark, tmpdir_path, "tgt")
+    tailer = ChangefeedTailer(src, tgt, f"{tmpdir_path}/cursor.json")
+    tailer.run_until_caught_up()
+    _apply(spark, app, [(2, "U", "c1", 0, "user", "a2", None, None, 1)], 1)
+    src.compact()
+
+    class CrashingTailer(ChangefeedTailer):
+        def _store(self, cur):
+            if "pending_reseed" not in cur and cur.get("pending") is None \
+                    and not getattr(self, "_ok", False):
+                raise RuntimeError("injected crash before reseed cursor store")
+            super()._store(cur)
+
+    crasher = CrashingTailer(src, tgt, f"{tmpdir_path}/cursor.json")
+    with pytest.raises(RuntimeError, match="injected crash"):
+        crasher.reseed()
+    # the reseed merge itself committed
+    assert _snap(tgt) == _snap(src)
+
+    # a NEW source commit lands during the recovery outage
+    _apply(spark, app, [(3, "I", "c2", 1, "user", "b", None, None, 1)], 2)
+
+    fresh = ChangefeedTailer(src, tgt, f"{tmpdir_path}/cursor.json")
+    stats = fresh.reseed()   # replays the pinned version (skipped merge)
+    assert stats["status"] == "skipped_replay"
+    # the outage commit is NOT jumped: the next tick consumes it
+    out = fresh.run_until_caught_up()
+    assert out["caught_up"] and len(out["ticks"]) == 1
+    assert _snap(tgt) == _snap(src)
+    assert len(_snap(tgt)) == 2
