@@ -42,6 +42,8 @@ import os
 import subprocess
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 N_EVENTS = int(os.environ.get("SPARK_GRAFT_SCALE_EVENTS", "8000000"))
 N_CHUNKS = int(os.environ.get("SPARK_GRAFT_SCALE_CHUNKS", "2"))
 REPEATS = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
@@ -340,7 +342,6 @@ def _load_cache() -> dict:
 def _save_cache(cache: dict) -> None:
     # atomic: a Ctrl-C/timeout landing mid-dump must not wipe hours of
     # cached measurements (a torn file parses as {} on the next load)
-    sys.path.insert(0, "/root/repo")
     from go_data_publisher_spark.ioutil import atomic_write_json
 
     atomic_write_json(CACHE, cache)

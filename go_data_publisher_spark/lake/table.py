@@ -188,6 +188,9 @@ class TranscriptTable:
         self.overlap_guard = overlap_guard
         # folded file lists per (immutable) manifest version — see _resolve_files
         self._files_cache: dict[int, list] = {}
+        import threading as _threading
+
+        self._files_cache_lock = _threading.RLock()
         os.makedirs(f"{self.root}/data", exist_ok=True)
         os.makedirs(f"{self.root}/_manifests", exist_ok=True)
         if self._current_version() is None:
@@ -309,32 +312,37 @@ class TranscriptTable:
         Walks back to the nearest checkpoint OR nearest cached version (the
         common case after a commit: one delta on top of the cached parent),
         then replays removals/additions forward.  Memoized per version —
-        manifests are immutable once published."""
-        cached = self._files_cache.get(version)
-        if cached is not None:
-            return list(cached)
-        m = raw if raw is not None else self._load_raw(version)
-        chain: list[dict] = []
-        files: list | None = None
-        while "files" not in m:
-            base = self._files_cache.get(int(m["base_version"]))
-            if base is not None:
-                files = list(base)
+        manifests are immutable once published.
+
+        The memo dict is mutated under a lock: concurrent readers (the
+        threaded serving endpoint, a tailer polling while a report runs)
+        would otherwise race the insert + eviction loop mid-iteration."""
+        with self._files_cache_lock:
+            cached = self._files_cache.get(version)
+            if cached is not None:
+                return list(cached)
+            m = raw if raw is not None else self._load_raw(version)
+            chain: list[dict] = []
+            files: list | None = None
+            while "files" not in m:
+                base = self._files_cache.get(int(m["base_version"]))
+                if base is not None:
+                    files = list(base)
+                    chain.append(m)
+                    break
                 chain.append(m)
-                break
-            chain.append(m)
-            m = self._load_raw(int(m["base_version"]))
-        if files is None:
-            files = list(m["files"])
-        for d in reversed(chain):
-            removed = set(d.get("files_removed", ()))
-            if removed:
-                files = [f for f in files if f["path"] not in removed]
-            files = files + list(d.get("files_added", ()))
-        self._files_cache[version] = files
-        while len(self._files_cache) > 8:
-            self._files_cache.pop(min(self._files_cache))
-        return list(files)
+                m = self._load_raw(int(m["base_version"]))
+            if files is None:
+                files = list(m["files"])
+            for d in reversed(chain):
+                removed = set(d.get("files_removed", ()))
+                if removed:
+                    files = [f for f in files if f["path"] not in removed]
+                files = files + list(d.get("files_added", ()))
+            self._files_cache[version] = files
+            while len(self._files_cache) > 8:
+                self._files_cache.pop(min(self._files_cache))
+            return list(files)
 
     def manifest(self, version: int | None = None) -> dict:
         """The committed manifest at ``version`` (default: CURRENT), with the
@@ -1035,6 +1043,10 @@ class TranscriptTable:
         changes."""
         m = self.manifest(to_version)
         to_v = int(m["version"])
+        if from_version > to_v:
+            # same guard as changes(): a cursor ahead of the source is a
+            # misconfiguration to surface, not an idle feed to hide
+            raise ValueError(f"from_version {from_version} > to_version {to_v}")
         in_window = [f for f in m["files"]
                      if from_version < int(f.get("seq", 0)) <= to_v]
         lost = [f for f in in_window

@@ -68,24 +68,24 @@ def build_report(spark, tbl, lineage_dir: str | None = None,
         report["rows_upserted_total"] = lin.agg(F.sum("rows_upserted")).first()[0]
     # V4 persisted skipped-key set (served sorted, like the reference's
     # status-service/db/store.go:109 read-back).  A clean run's quarantine
-    # dir holds ONLY the per-epoch marker files (underscore-prefixed, which
-    # the parquet reader treats as hidden) — reading it would raise
-    # UNABLE_TO_INFER_SCHEMA, so probe for data files first, same as
-    # ChangeApplier.skipped_keys.
+    # dir holds ONLY the per-epoch marker files, which would make the
+    # parquet reader raise UNABLE_TO_INFER_SCHEMA — shared probe with
+    # ChangeApplier.skipped_keys.  Columns follow the table's declared
+    # key/order contract, not hardcoded names.
     import os
+
+    from .ioutil import has_parquet_data
 
     qdir = quarantine_dir or f"{tbl.root}/_quarantine"
     if os.path.isdir(qdir):
-        has_data = any(
-            name.endswith(".parquet")
-            for _d, _s, files in os.walk(qdir) for name in files
-        )
-        if has_data:
+        key = list(tbl.key)
+        order = tbl.order_col
+        if has_parquet_data(qdir):
             q = spark.read.parquet(qdir)
             report["rows_skipped_total"] = q.count()
             report["skipped_sample"] = [
-                {"conv_id": r["conv_id"], "turn_idx": r["turn_idx"], "lsn": r["lsn"]}
-                for r in q.orderBy("conv_id", "turn_idx", "lsn").limit(5).collect()
+                {c: r[c] for c in (*key, order)}
+                for r in q.orderBy(*key, order).limit(5).collect()
             ]
         else:
             report["rows_skipped_total"] = 0

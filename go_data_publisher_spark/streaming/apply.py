@@ -438,30 +438,33 @@ class ChangeApplier:
     def skipped_keys(self) -> DataFrame:
         """The persisted skipped-key set (V4 continue mode), sorted by key —
         the reference's sorted read-back of its skip store
-        (status-service/db/store.go:79-111)."""
+        (status-service/db/store.go:79-111).  Columns follow the TABLE's
+        declared key/order contract, like the write side."""
         if not self.quarantine_dir:
             raise ValueError("no quarantine_dir configured")
-        import os
+        from pyspark.sql import types as T
 
-        has_data = os.path.isdir(self.quarantine_dir) and any(
-            name.endswith(".parquet")
-            for _d, _s, files in os.walk(self.quarantine_dir)
-            for name in files
-        )
-        if not has_data:
+        from ..ioutil import has_parquet_data
+
+        key = list(self.table.key)
+        order = self.table.order_col
+        if not has_parquet_data(self.quarantine_dir):
             # a clean run still creates the dir (per-epoch marker files,
             # which the parquet reader treats as hidden) — an empty skipped
             # set, not a schema-inference error
-            return self.table.spark.createDataFrame(
-                [], "conv_id string, turn_idx int, lsn bigint, op string, __epoch_id int"
-            )
+            by_name = {f.name: f for f in self.table.schema.fields}
+            fields = [by_name[c] for c in (*key, order)] + [
+                T.StructField("op", T.StringType(), True),
+                T.StructField("__epoch_id", T.IntegerType(), True),
+            ]
+            return self.table.spark.createDataFrame([], T.StructType(fields))
         q = self.table.spark.read.parquet(self.quarantine_dir)
         return (
-            q.select("conv_id", "turn_idx", "lsn", "op", "__epoch_id")
+            q.select(*key, order, "op", "__epoch_id")
             # distinct: the at-least-once heal path may re-append an epoch's
             # rows if the marker write itself was lost
             .distinct()
-            .orderBy("conv_id", "turn_idx", "lsn")
+            .orderBy(*key, order)
         )
 
 

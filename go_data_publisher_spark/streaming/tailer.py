@@ -158,18 +158,19 @@ class ChangefeedTailer:
         # merge.  A crash between the merge and the cursor store replays
         # against the PINNED snapshot version (time travel), so the retry
         # can never jump the cursor past windows the skipped merge didn't
-        # apply.  next_epoch advances with the record; if the pinned version
-        # is itself vacuumed before the retry, the reseed restarts fresh
-        # under the next epoch (the abandoned one stays in the guard's
-        # recent set — bounded by reseed-failure count).
+        # apply.  The epoch comes from the TARGET's guard state (not the
+        # cursor — see _next_uncommitted_epoch); if the pinned version is
+        # itself vacuumed before the retry, the reseed restarts fresh and
+        # REUSES the abandoned epoch id, so no permanent hole pins the
+        # guard's high watermark.
         pend = cur.get("pending_reseed")
         if pend:
             ver, epoch = int(pend["to_version"]), int(pend["epoch"])
         else:
             ver = int(self.source.manifest()["version"])
-            epoch = int(cur["next_epoch"])
+            epoch = self._next_uncommitted_epoch(cur)
             cur["pending_reseed"] = {"to_version": ver, "epoch": epoch}
-            cur["next_epoch"] = epoch + 1
+            cur["next_epoch"] = max(int(cur["next_epoch"]), epoch + 1)
             self._store(cur)
         try:
             m = self.source.manifest(ver)
@@ -201,9 +202,34 @@ class ChangefeedTailer:
 
         stats = self.target.merge(ups.unionByName(dels), epoch_id=epoch,
                                   writer_id=self.writer_id)
-        self._store({"from_version": ver, "next_epoch": int(cur["next_epoch"]),
+        self._store({"from_version": ver,
+                     "next_epoch": max(int(cur["next_epoch"]), epoch + 1),
                      "pending": None})
         return {**stats, "reseeded_to_version": ver}
+
+    def _next_uncommitted_epoch(self, cur: dict) -> int:
+        """The epoch id a FRESH reseed may merge under.  The cursor's
+        next_epoch is not trustworthy here: a tick that crashed between its
+        merge commit and its cursor store leaves next_epoch pointing at an
+        epoch the TARGET already committed — merging the reseed batch under
+        it would be skipped by the replay guard while the cursor still
+        jumps, silently losing every change the snapshot was meant to carry.
+        Ask the target instead: the smallest uncommitted epoch at-or-above
+        the guard's high watermark, which also REUSES the hole left by a
+        reseed abandoned to a vacuumed pin (an unfilled hole would pin the
+        hwm forever and grow the recent set with every later commit)."""
+        state_fn = getattr(self.target, "epoch_state", None)
+        if state_fn is not None:
+            st = state_fn(self.writer_id)
+            e = int(st["epoch_hwm"]) + 1
+            recent = set(st["epochs_recent"])
+            while e in recent:
+                e += 1
+            return e
+        e = int(cur["next_epoch"])
+        while self.target.is_epoch_committed(e, self.writer_id):
+            e += 1
+        return e
 
     def run_until_caught_up(self, max_ticks: int = 1000) -> dict:
         """Tick until the source has no unconsumed versions (the drain loop

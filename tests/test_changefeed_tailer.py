@@ -298,3 +298,51 @@ def test_reseed_crash_before_cursor_store_replays_pinned_version(spark, tmpdir_p
     assert out["caught_up"] and len(out["ticks"]) == 1
     assert _snap(tgt) == _snap(src)
     assert len(_snap(tgt)) == 2
+
+
+def test_reseed_after_tick_crash_does_not_reuse_consumed_epoch(spark, tmpdir_path):
+    """Review finding (severe): a tick crash between its merge commit and
+    its cursor store leaves next_epoch pointing at an epoch the target
+    already committed.  A later reseed must NOT merge under it (that would
+    be skipped by the replay guard while the cursor still jumps — silent
+    loss of everything the snapshot carries); it asks the target's guard
+    state for a genuinely uncommitted epoch and commits for real."""
+    import json
+
+    src = _mk(spark, tmpdir_path, "src")
+    app = ChangeApplier(src)
+    _apply(spark, app, [(1, "I", "c1", 0, "user", "a", None, None, 1)], 0)
+
+    tgt = _mk(spark, tmpdir_path, "tgt")
+    cursor = f"{tmpdir_path}/cursor.json"
+    ChangefeedTailer(src, tgt, cursor).run_until_caught_up()
+
+    # window A commits on the source; the tailer's tick merges it into the
+    # target but crashes before the cursor store
+    _apply(spark, app, [(2, "U", "c1", 0, "user", "a2", None, None, 1)], 1)
+
+    class CrashingTailer(ChangefeedTailer):
+        def _store(self, cur):
+            if "pending_reseed" not in cur and cur.get("pending") is None:
+                raise RuntimeError("injected crash before cursor advance")
+            super()._store(cur)
+
+    with pytest.raises(RuntimeError, match="injected crash"):
+        CrashingTailer(src, tgt, cursor).tick()
+    stale = json.load(open(cursor))
+    assert tgt.is_epoch_committed(stale["next_epoch"], writer_id="cdc-out")
+
+    # window B lands, then retention outruns the stale pending window
+    _apply(spark, app, [(3, "I", "c2", 1, "user", "b", None, None, 1)], 2)
+    src.compact()
+    src.vacuum(keep_versions=1, orphan_grace_seconds=0)
+
+    tailer = ChangefeedTailer(src, tgt, cursor)
+    with pytest.raises(ChangefeedRetentionError):
+        tailer.tick()
+    stats = tailer.reseed()
+    assert stats["status"] == "committed", \
+        "reseed merged under a consumed epoch and was silently skipped"
+    assert _snap(tgt) == _snap(src)
+    assert len(_snap(tgt)) == 2  # window A update + window B insert
+    assert tailer.tick()["status"] == "idle"
