@@ -721,7 +721,8 @@ def q_docs_sample(spark, sf_dir):
 SQL_DOCS_SAMPLE = """
   SELECT doc_id, lang, n_chars
   FROM documents
-  WHERE substr(COALESCE(md5(CAST(doc_id AS VARCHAR)), ''), 1, 8) < '40000000'
+  WHERE substr(md5(COALESCE(CAST(doc_id AS VARCHAR), '__NULL_KEY__')), 1, 8)
+        < '40000000'
 """
 
 

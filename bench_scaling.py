@@ -42,7 +42,11 @@ import os
 import subprocess
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+# repo root derived from this file's location (not hardcoded): running the
+# bench from another checkout must read/write THAT checkout's cache and
+# import THAT checkout's package, both here and in the child processes
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
 
 N_EVENTS = int(os.environ.get("SPARK_GRAFT_SCALE_EVENTS", "8000000"))
 N_CHUNKS = int(os.environ.get("SPARK_GRAFT_SCALE_CHUNKS", "2"))
@@ -55,11 +59,11 @@ SCALE10_BASE = int(os.environ.get("SPARK_GRAFT_SCALE10_BASE", "4000000"))
 SCALE10_FACTOR = int(os.environ.get("SPARK_GRAFT_SCALE10_FACTOR", "10"))
 SCALE10_CHUNK = int(os.environ.get("SPARK_GRAFT_SCALE10_CHUNK", "500000"))
 SKEW_EVENTS = int(os.environ.get("SPARK_GRAFT_SKEW_EVENTS", "32000000"))
-CACHE = "/root/repo/bench_results.json"
+CACHE = os.path.join(REPO, "bench_results.json")
 
 CHILD = r"""
 import json, sys, time, tempfile, shutil
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, r"__REPO__")
 from go_data_publisher_spark.session import get_spark
 from go_data_publisher_spark.sources.changelog import generate_changelog
 from go_data_publisher_spark.lake.table import TranscriptTable
@@ -103,7 +107,7 @@ print("RESULT " + json.dumps({"cores": cores, "n_events": cnt, "seconds": round(
 
 CPU_CHILD = r"""
 import sys, time
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, r"__REPO__")
 from go_data_publisher_spark.session import get_spark
 from pyspark.sql import functions as F
 cores = int(sys.argv[1])
@@ -118,7 +122,7 @@ print(f"RESULT {time.perf_counter()-t0:.3f}")
 
 SCALE10_CHILD = r"""
 import json, sys, time, tempfile, shutil, os
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, r"__REPO__")
 from go_data_publisher_spark.session import get_spark
 from go_data_publisher_spark.sources.changelog import generate_changelog
 from go_data_publisher_spark.lake.table import TranscriptTable
@@ -202,7 +206,7 @@ print("RESULT " + json.dumps({
 
 SKEW_CHILD = r"""
 import json, sys, time, tempfile, shutil, os
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, r"__REPO__")
 from go_data_publisher_spark.session import get_spark
 from go_data_publisher_spark.sources.changelog import generate_changelog
 from go_data_publisher_spark.operators.dedup import (
@@ -254,9 +258,10 @@ print("RESULT " + json.dumps({
 
 
 def _run_child(code: str, *args, timeout: int = 3600) -> dict | float:
+    code = code.replace("__REPO__", REPO)
     p = subprocess.run([sys.executable, "-c", code, *[str(a) for a in args]],
                        capture_output=True, text=True, timeout=timeout,
-                       cwd="/root/repo")
+                       cwd=REPO)
     for line in p.stdout.splitlines():
         if line.startswith("RESULT "):
             body = line[len("RESULT "):]
@@ -540,7 +545,7 @@ Maven resolver and no ivy cache, so the run below used the **mini-lake**
 backend (whose manifest log now mirrors Iceberg's O(batch) commit-metadata
 shape; see `tests/test_iceberg_backend.py` for the shared contract).
 """
-    with open("/root/repo/BENCH.md", "w") as f:
+    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write(md)
 
 

@@ -76,25 +76,47 @@ def bucket_expr(conv_col: str, n_buckets: int):
     return F.pmod(F.xxhash64(F.col(conv_col)), F.lit(n_buckets)).cast("int")
 
 
-def _footer_stats(path: str, order_col: str):
-    """(num_rows, min(order_col), max(order_col)) from the parquet footer —
-    no data pages read.  Falls back to (num_rows, None, None) when column
-    statistics are absent."""
+def _footer_stats(path: str, order_col: str, del_col: str | None = None):
+    """(num_rows, min(order_col), max(order_col), n_deletes) from the parquet
+    footer — no data pages read.  Order-col stats fall back to (None, None)
+    when column statistics are absent.
+
+    ``del_col`` names the delete-marker column the merge writes (1 for
+    tombstones, NULL otherwise): per-row-group null counts then give the
+    exact upsert/delete split from the same footer read — this is what lets
+    a commit write ONE file per touched bucket instead of a
+    partitionBy-(bucket, is-delete) pair while keeping exact per-op lineage
+    counters.  n_deletes is None when ``del_col`` is absent/unrequested or a
+    row group lacks a null count (the caller falls back to a column scan)."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
+    names = md.schema.names
+    n_del = None
+    if del_col is not None and del_col in names:
+        didx = names.index(del_col)
+        non_null = 0
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(didx).statistics
+            if st is None or st.null_count is None:
+                ok = False
+                break
+            non_null += md.row_group(rg).num_rows - st.null_count
+        if ok:
+            n_del = non_null
     try:
-        idx = md.schema.names.index(order_col)
+        idx = names.index(order_col)
     except ValueError:
-        return md.num_rows, None, None
+        return md.num_rows, None, None, n_del
     lo = hi = None
     for rg in range(md.num_row_groups):
         st = md.row_group(rg).column(idx).statistics
         if st is None or not st.has_min_max:
-            return md.num_rows, None, None
+            return md.num_rows, None, None, n_del
         lo = st.min if lo is None else min(lo, st.min)
         hi = st.max if hi is None else max(hi, st.max)
-    return md.num_rows, lo, hi
+    return md.num_rows, lo, hi, n_del
 
 
 # epoch ids are expected contiguous per writer; a permanent gap would grow
@@ -724,16 +746,23 @@ class TranscriptTable:
         ).otherwise(bucket_expr(self.key[0], self.n_buckets))
         changes = (
             changes.withColumn("__bucket", null_guard.cast("int"))
-            .withColumn("__del", (F.col("op") == "D").cast("int"))
+            # delete marker as a NULLABLE data column (1 for tombstones, NULL
+            # otherwise): the parquet footer's per-column null counts then
+            # yield the exact upsert/delete split with zero extra reads, so
+            # the commit writes ONE file per touched bucket instead of the
+            # round-4 partitionBy-(bucket, is-delete) pair (which doubled the
+            # per-commit file count and the footer-read fan-out — the 3.81×
+            # 16→256-bucket commit growth in BENCH_r04)
+            .withColumn("__del", F.when(F.col("op") == "D", F.lit(1)).cast("int"))
             .withColumn("__seq", F.lit(seq).cast("long"))
         )
 
-        # Delta write: one output dir per commit, partitioned by
-        # (bucket, is-delete), one writer task per bucket → at most two files
-        # per touched bucket per commit (empty tasks write nothing).  ``op``
-        # stays a data column — snapshot() reads files by path and never sees
-        # the partition dirs.  This is the ONLY Spark job of the merge:
-        # per-bucket lineage counters come from the parquet footers below.
+        # Delta write: one output dir per commit, partitioned by bucket, one
+        # writer task per bucket → ONE file per touched bucket per commit
+        # (empty tasks write nothing).  ``op``/``__del`` stay data columns —
+        # snapshot() reads files by path and never sees the partition dirs.
+        # This is the ONLY Spark job of the merge: per-bucket lineage
+        # counters come from the parquet footers below.
         commit_id = uuid.uuid4().hex[:12]
         out_dir = f"{self.root}/data/commit={commit_id}"
         # Delta files get a small row-group target (vs the 128 MB default):
@@ -756,30 +785,26 @@ class TranscriptTable:
             n_write_tasks = min(self.n_buckets, max(1, par) * 2)
         (changes.repartition(n_write_tasks, "__bucket")
                 .write.mode("overwrite").option("parquet.block.size", 16 << 20)
-                .partitionBy("__bucket", "__del").parquet(out_dir))
+                .partitionBy("__bucket").parquet(out_dir))
 
         # Enumerate written files and derive lineage counters from parquet
-        # footer metadata (row counts + order-col min/max column statistics):
-        # driver-side metadata reads of ≤ 2·n_buckets small footers — the
-        # same stats-from-manifest trick Iceberg uses, replacing a whole
-        # post-write aggregation job per commit.
+        # footer metadata (row counts, order-col min/max statistics, and the
+        # delete split from __del null counts): driver-side metadata reads of
+        # ≤ n_buckets small footers — the same stats-from-manifest trick
+        # Iceberg uses, replacing a whole post-write aggregation job per
+        # commit.
         sid = int(m["current_schema_id"])
-        entries: list[tuple[str, int, bool]] = []
+        entries: list[tuple[str, int]] = []
         for bdir in sorted(os.listdir(out_dir)):
             if not bdir.startswith("__bucket="):
                 continue
             b = int(bdir.split("=")[1])
-            for ddir in sorted(os.listdir(f"{out_dir}/{bdir}")):
-                if not ddir.startswith("__del="):
-                    continue
-                is_del = int(ddir.split("=")[1]) == 1
-                for name in sorted(os.listdir(f"{out_dir}/{bdir}/{ddir}")):
-                    if name.endswith(".parquet"):
-                        entries.append(
-                            (f"{out_dir}/{bdir}/{ddir}/{name}", b, is_del))
+            for name in sorted(os.listdir(f"{out_dir}/{bdir}")):
+                if name.endswith(".parquet"):
+                    entries.append((f"{out_dir}/{bdir}/{name}", b))
         new_files = [{"path": path, "bucket": b,
                       "schema_id": sid, "kind": "delta", "seq": seq}
-                     for path, b, _ in entries]
+                     for path, b in entries]
         # The footer reads are independent metadata fetches — thread-pooled:
         # at a production bucket count (≥256) on remote storage a serial
         # loop is the commit-latency tail (the reference's cursor write is
@@ -790,16 +815,27 @@ class TranscriptTable:
 
             with ThreadPoolExecutor(max_workers=min(16, len(entries))) as ex:
                 stats = list(ex.map(
-                    lambda e: _footer_stats(e[0], self.order_col), entries))
+                    lambda e: _footer_stats(e[0], self.order_col, "__del"),
+                    entries))
         else:
-            stats = [_footer_stats(p, self.order_col) for p, _, _ in entries]
+            stats = [_footer_stats(p, self.order_col, "__del")
+                     for p, _ in entries]
         per_bucket_map: dict[int, dict] = {}
-        for (path, b, is_del), (n_rows, omin, omax) in zip(entries, stats):
+        for (path, b), (n_rows, omin, omax, n_del) in zip(entries, stats):
+            if n_del is None:
+                # a writer that omitted null counts (non-default parquet
+                # properties): fall back to scanning just the 1-byte marker
+                # column of this one batch-sized delta file
+                import pyarrow.parquet as pq
+
+                tbl = pq.read_table(path, columns=["__del"])
+                n_del = n_rows - tbl.column("__del").null_count
             st = per_bucket_map.setdefault(b, {
                 "__bucket": b, "rows_upserted": 0, "rows_deleted": 0,
                 "lsn_from": None, "lsn_to": None,
             })
-            st["rows_deleted" if is_del else "rows_upserted"] += n_rows
+            st["rows_deleted"] += n_del
+            st["rows_upserted"] += n_rows - n_del
             if omin is not None:
                 st["lsn_from"] = omin if st["lsn_from"] is None else min(st["lsn_from"], omin)
             if omax is not None:

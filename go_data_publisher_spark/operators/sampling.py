@@ -29,6 +29,12 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+# what a NULL sampling key hashes as (deterministic_sample only —
+# quota_per_group keeps its documented nulls-first '' convention, which
+# matches the window form's nulls-first ordering it replaced)
+NULL_KEY_SENTINEL = "__NULL_KEY__"
+
+
 def _hash_hex(col, salt: str = ""):
     """Lowercase hex md5 of the stringified id (+ optional salt) — identical
     bytes in Spark and DuckDB, so lexicographic comparison is portable."""
@@ -45,10 +51,14 @@ def deterministic_sample(df: DataFrame, fraction: float, key_col: str,
     kept iff they compare below floor(fraction·16^8) rendered as zero-padded
     hex.  ``salt`` decorrelates independent samples over the same keys.
 
-    NULL keys hash to the empty string (same convention as
-    ``quota_per_group``), which sorts below every threshold — so NULL-keyed
-    rows are KEPT for any fraction > 0 rather than silently dropped by a
-    null predicate.
+    NULL keys hash a SENTINEL string (``__NULL_KEY__``) so they face the
+    same threshold as every other key: all NULL-keyed rows share one hash,
+    so per (fraction, salt) they are kept or dropped as a block — unbiased
+    across salts, never silently dropped by a null predicate, and never the
+    round-4 behavior of riding into EVERY sample regardless of fraction
+    (a 1% sample that contains 100% of null-keyed rows is a rate bias).
+    A genuine key equal to the sentinel string would collide with NULLs;
+    sample on a surrogate column if that space is reachable.
     """
     if not 0.0 <= fraction <= 1.0:
         raise ValueError("fraction must be in [0, 1]")
@@ -58,7 +68,8 @@ def deterministic_sample(df: DataFrame, fraction: float, key_col: str,
         # breaks the 8-char lexicographic comparison — keep-everything is free
         return df
     threshold = format(threshold_int, "08x")
-    h = F.coalesce(_hash_hex(key_col, salt), F.lit(""))
+    key = F.coalesce(F.col(key_col).cast("string"), F.lit(NULL_KEY_SENTINEL))
+    h = _hash_hex(key, salt)
     return df.where(F.substring(h, 1, 8) < F.lit(threshold))
 
 

@@ -63,7 +63,13 @@ def build_report(spark, tbl, lineage_dir: str | None = None,
         "history": tbl.history()[-5:],
     }
     if lineage_dir:
-        lin = spark.read.json(lineage_dir)
+        # read with the DECLARED schema (same as ChangeApplier.lineage,
+        # streaming/apply.py): a configured-but-still-empty lineage dir —
+        # fresh pipeline, report before the first commit — must be an empty
+        # frame, not an UNABLE_TO_INFER_SCHEMA 500
+        from .schemas import LINEAGE_SCHEMA
+
+        lin = spark.read.schema(LINEAGE_SCHEMA).json(lineage_dir)
         report["lineage_epochs"] = lin.select("epoch_id").distinct().count()
         report["rows_upserted_total"] = lin.agg(F.sum("rows_upserted")).first()[0]
     # V4 persisted skipped-key set (served sorted, like the reference's
@@ -76,8 +82,12 @@ def build_report(spark, tbl, lineage_dir: str | None = None,
 
     from .ioutil import has_parquet_data
 
-    qdir = quarantine_dir or f"{tbl.root}/_quarantine"
-    if os.path.isdir(qdir):
+    # Iceberg-backed tables have no filesystem root: without an explicit
+    # quarantine_dir the skipped-keys section is simply omitted, it must not
+    # AttributeError the whole report
+    qdir = quarantine_dir or (
+        f"{tbl.root}/_quarantine" if getattr(tbl, "root", None) else None)
+    if qdir and os.path.isdir(qdir):
         key = list(tbl.key)
         order = tbl.order_col
         if has_parquet_data(qdir):
@@ -114,7 +124,9 @@ class ReportServer:
     """
 
     def __init__(self, spark, tbl, port: int = 8080,
-                 lineage_dir: str | None = None):
+                 lineage_dir: str | None = None,
+                 report_ttl_seconds: float = 60.0):
+        import threading
         from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
         outer = self
@@ -132,9 +144,7 @@ class ReportServer:
                     elif self.path == "/history":
                         status, body = 200, {"history": outer.tbl.history()}
                     elif self.path == "/report":
-                        status, body = 200, build_report(
-                            outer.spark, outer.tbl,
-                            lineage_dir=outer.lineage_dir)
+                        status, body = 200, outer._cached_report()
                     else:
                         status, body = 404, {"error": "not found"}
                 except Exception as exc:  # surface as 500, keep serving
@@ -155,6 +165,15 @@ class ReportServer:
         self.spark = spark
         self.tbl = tbl
         self.lineage_dir = lineage_dir
+        # /report TTL cache — the reference fronts the same document with a
+        # time-bounded cache (status-service/main.go:221-233 wraps GetStatus
+        # in a 1s cache, rpc/status_service.go:118-137 serves the report from
+        # a 1m one) so dashboard polling never multiplies Spark jobs on the
+        # driver.  report_builds counts ACTUAL builds (observable in tests).
+        self.report_ttl_seconds = float(report_ttl_seconds)
+        self.report_builds = 0
+        self._report_cache: tuple[float, dict] | None = None
+        self._report_lock = threading.Lock()
         # Threading: /healthz and /status (no Spark job) must answer while a
         # slow /report (several Spark jobs) is in flight, or a liveness
         # probe flaps unhealthy exactly when the service is doing normal
@@ -164,6 +183,25 @@ class ReportServer:
         self._httpd.daemon_threads = True
         self.port = self._httpd.server_address[1]
         self._thread = None
+
+    def _cached_report(self) -> dict:
+        """Serve /report from the TTL cache, building at most once per
+        window.  The lock is held ACROSS the build so concurrent polls
+        arriving during a slow build queue behind it and reuse its result
+        instead of each launching their own Spark jobs; the no-Spark routes
+        (/status, /healthz) never touch this lock."""
+        import time
+
+        with self._report_lock:
+            now = time.monotonic()
+            if (self._report_cache is not None
+                    and now - self._report_cache[0] < self.report_ttl_seconds):
+                return self._report_cache[1]
+            body = build_report(self.spark, self.tbl,
+                                lineage_dir=self.lineage_dir)
+            self.report_builds += 1
+            self._report_cache = (time.monotonic(), body)
+            return body
 
     def start(self) -> None:
         import threading

@@ -125,6 +125,10 @@ def run_stream(
         raw = (
             spark.readStream.schema(wire_schema)
             .option("maxFilesPerTrigger", max_files_per_trigger)
+            # WirePublisher lays records out as one window-<from>-<to> dir
+            # per consumed feed window; recurse so the dir is consumable as
+            # a topic
+            .option("recursiveFileLookup", "true")
             .parquet(source_dir)
         )
         from ..functions.codecs import from_wire

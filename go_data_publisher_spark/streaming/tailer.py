@@ -44,6 +44,15 @@ class ChangefeedRetentionError(RuntimeError):
     version), not a retry."""
 
 
+class CursorMismatchError(RuntimeError):
+    """The cursor file and the target's epoch state disagree: a FRESH window
+    (no pending record — the epoch was never merged by a crashed tick)
+    merged as ``skipped_replay``, meaning the target already committed that
+    epoch id.  The cursor file was reset, restored from a stale backup, or
+    pointed at the wrong target — advancing would silently drop the whole
+    backlog window.  Recovery: restore the matching cursor file, or reseed."""
+
+
 class ChangefeedTailer:
     """Tail ``source.changes()`` into ``target`` with a persisted cursor.
 
@@ -82,13 +91,35 @@ class ChangefeedTailer:
         Returns ``{"status": "idle"}`` when caught up, else the merge stats
         plus the consumed ``(from_version, to_version]`` window."""
         cur = self._load()
-        if cur.get("pending"):
+        had_pending = bool(cur.get("pending"))
+        if had_pending:
             # crash-recovery: re-apply exactly the recorded in-flight window
             to_v = int(cur["pending"]["to_version"])
         else:
             to_v = int(self.source.manifest()["version"])
             if to_v <= int(cur["from_version"]):
                 return {"status": "idle", "from_version": cur["from_version"]}
+            # Cursor/target consistency check BEFORE the pending record is
+            # written: on a fresh window next_epoch was never merged by a
+            # crashed tick, so the target having committed it means this
+            # cursor file does not belong to this (target, writer) state —
+            # reset, restored from a stale backup, or pointed at the wrong
+            # target.  Proceeding would merge as skipped_replay and advance
+            # from_version over the whole backlog window (silent loss); and
+            # the check must run before _store(pending), because a pending
+            # record would make the NEXT attempt accept that skip as a
+            # legitimate crash retry.  One O(1) raw-manifest read, only on
+            # the non-idle path.
+            if self.target.is_epoch_committed(int(cur["next_epoch"]),
+                                              self.writer_id):
+                raise CursorMismatchError(
+                    f"cursor epoch {cur['next_epoch']} is already committed "
+                    f"on the target (writer {self.writer_id!r}) but no "
+                    f"pending window is recorded: the cursor file at "
+                    f"{self.cursor_path} disagrees with the target's epoch "
+                    "state (reset/restored cursor?) — restore the matching "
+                    "cursor file, or reseed the target"
+                )
             cur["pending"] = {"to_version": to_v}
             self._store(cur)
         from_v = int(cur["from_version"])
@@ -120,6 +151,21 @@ class ChangefeedTailer:
                     stats = self.target.merge(
                         events, epoch_id=epoch, writer_id=self.writer_id,
                     )
+                    if stats["status"] == "skipped_replay" and not had_pending:
+                        # a replay skip is legitimate ONLY on a crash retry
+                        # (the pending record existed at load).  On a fresh
+                        # first attempt this epoch was never used, so the
+                        # target having committed it means the cursor file
+                        # does not belong to this (target, writer) state —
+                        # advancing from_version would drop the window.
+                        raise CursorMismatchError(
+                            f"fresh window ({from_v}, {to_v}] merged as "
+                            f"skipped_replay under epoch {epoch} (writer "
+                            f"{self.writer_id!r}): the cursor file at "
+                            f"{self.cursor_path} disagrees with the "
+                            "target's committed-epoch state (reset/restored "
+                            "cursor?) — restore the matching cursor or reseed"
+                        )
                     cur["next_epoch"] = epoch + 1
         except RetentionLostError as exc:
             raise ChangefeedRetentionError(
@@ -180,11 +226,33 @@ class ChangefeedTailer:
             cur["pending_reseed"] = None
             self._store(cur)
             return self.reseed()
+        # MIRROR TOPOLOGY ONLY: every reseeded row is rebuilt from the SOURCE
+        # snapshot, so a target column the source lacks would be overwritten
+        # to NULL on every row the snapshot re-upserts (merge fills missing
+        # columns with NULL and the reseeded row replaces the stored one
+        # wholesale).  The supported topology is a pure mirror — fail loud
+        # instead of silently nulling locally-evolved columns.
+        extra = [f.name for f in self.target.schema.fields
+                 if f.name not in set(snap.columns)]
+        if extra:
+            raise ValueError(
+                f"reseed supports mirror targets only: target has columns "
+                f"the source snapshot lacks {extra} — reseeding would "
+                "overwrite their stored values with NULL on every row"
+            )
         self.target.evolve_schema(snap.schema)
 
         key = list(self.target.key)
         order_col = self.target.order_col
-        cursor_lsn = int(m.get("cursor_lsn", -1))
+        if "cursor_lsn" not in m:
+            # the tombstone order stamp comes from the source cursor; a
+            # defensive -1 here would make every tombstone LOSE to every
+            # stored row and silently drop all missed deletes
+            raise ValueError(
+                f"source manifest v{ver} has no cursor_lsn — cannot stamp "
+                "reseed delete tombstones with a winning order value"
+            )
+        cursor_lsn = int(m["cursor_lsn"])
         ups = snap.withColumn("op", F.lit("I"))
         gone = (self.target.snapshot()
                 .join(snap.select(*key), on=key, how="left_anti"))
@@ -239,6 +307,96 @@ class ChangefeedTailer:
         False when ``max_ticks`` ran out with windows still unconsumed, so
         a bounded drain (cron budget) is never mistaken for a current copy.
         """
+        ticks = []
+        for _ in range(max_ticks):
+            stats = self.tick()
+            if stats["status"] == "idle":
+                return {"ticks": ticks, "caught_up": True}
+            ticks.append(stats)
+        return {"ticks": ticks, "caught_up": False}
+
+
+class WirePublisher:
+    """S5 produce side, broker-free: tail ``source.changes()`` and emit each
+    window as Kafka-shaped wire records — key = 4-byte LE-uint32 of the
+    order column (bit-exact with the reference producer's record key,
+    transactions-producer/external/kafka/client.go:73-79), value = the JSON
+    envelope (client.go:28-65) — into an append-only directory a
+    Structured-Streaming consumer tails like a topic
+    (``decode_kafka_records`` + ``run_stream_from``, or
+    ``run_stream(wire_format=True)``).  This closes the publisher loop
+    in-sandbox: engine → wire bytes → engine, everything short of the
+    broker socket.
+
+    Same persisted-cursor protocol as ``ChangefeedTailer`` but with PATH
+    idempotence instead of epochs: a window's output dir is named by its
+    ``(from_version, to_version]`` bounds and written with overwrite, so a
+    crash between the write and the cursor advance makes the retry rewrite
+    the SAME records in place.  Spark's file-stream source keys processed
+    files by path, so a consumer that already read the window does not read
+    it again, and one that hasn't reads the completed rewrite.  (Publish
+    windows fully before pointing a live consumer at them — mid-rewrite
+    reads are the file-sink variant of a broker's uncommitted reads.)
+
+    Retention: same as the tailer — a window that reaches behind a source
+    compaction raises ``ChangefeedRetentionError``.
+    """
+
+    def __init__(self, source, out_dir: str, cursor_path: str,
+                 key_col: str | None = None):
+        self.source = source
+        self.out_dir = out_dir
+        self.cursor_path = cursor_path
+        # the reference keys records by the ordering attribute (TickNumber);
+        # default to the table's declared order column
+        self.key_col = key_col or source.order_col
+
+    _load = ChangefeedTailer._load
+    _store = ChangefeedTailer._store
+
+    def tick(self) -> dict:
+        """One poll: publish the next change window as wire records, then
+        advance the cursor."""
+        from ..functions.codecs import to_wire_kafka
+        from ..lake.table import RetentionLostError
+
+        cur = self._load()
+        if cur.get("pending"):
+            to_v = int(cur["pending"]["to_version"])
+        else:
+            to_v = int(self.source.manifest()["version"])
+            if to_v <= int(cur["from_version"]):
+                return {"status": "idle", "from_version": cur["from_version"]}
+            cur["pending"] = {"to_version": to_v}
+            self._store(cur)
+        from_v = int(cur["from_version"])
+        try:
+            probe = getattr(self.source, "has_changes", None)
+            if probe is not None and not probe(from_v, to_v):
+                stats = {"status": "empty_window"}
+            else:
+                feed = self.source.changes(from_v, to_v)
+                if probe is None and feed.limit(1).count() == 0:
+                    stats = {"status": "empty_window"}
+                else:
+                    # commit_version is feed bookkeeping, not envelope payload
+                    events = feed.drop("commit_version")
+                    path = (f"{self.out_dir}/"
+                            f"window-{from_v:012d}-{to_v:012d}")
+                    to_wire_kafka(events, self.key_col) \
+                        .write.mode("overwrite").parquet(path)
+                    stats = {"status": "published", "path": path}
+        except RetentionLostError as exc:
+            raise ChangefeedRetentionError(
+                f"publisher at version {from_v} fell behind source "
+                f"retention — republish from a snapshot: {exc}"
+            ) from exc
+        cur["from_version"] = to_v
+        cur["pending"] = None
+        self._store(cur)
+        return {**stats, "from_version": from_v, "to_version": to_v}
+
+    def run_until_caught_up(self, max_ticks: int = 1000) -> dict:
         ticks = []
         for _ in range(max_ticks):
             stats = self.tick()

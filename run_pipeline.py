@@ -77,12 +77,22 @@ def main():
     sv.add_argument("--table", required=True)
     sv.add_argument("--port", type=int, default=8080)
     sv.add_argument("--lineage", default=None)
+    sv.add_argument("--report-ttl", type=float, default=60.0,
+                    help="seconds to memoize /report (the reference fronts "
+                         "its status document with a TTL cache)")
 
     t = sub.add_parser("tail",
                        help="CDC-out: tail a table's change feed into a "
-                            "second table with a persisted cursor")
+                            "second table (or, with --to-wire, publish it "
+                            "as Kafka-shaped wire records) with a persisted "
+                            "cursor")
     t.add_argument("--source-table", required=True)
-    t.add_argument("--target-table", required=True)
+    t.add_argument("--target-table", default=None)
+    t.add_argument("--to-wire", default=None, metavar="DIR",
+                   help="publish the feed as wire records (key binary "
+                        "LE-uint32, value JSON) into DIR instead of merging "
+                        "into a target table — the S5 producer loop; consume "
+                        "with `stream --wire-format`")
     t.add_argument("--cursor", required=True,
                    help="path of the tailer's persisted cursor JSON")
     t.add_argument("--buckets", type=int, default=32)
@@ -168,23 +178,42 @@ def main():
         print(json.dumps({"verified": True, **stats}))
 
     elif args.cmd == "tail":
-        from go_data_publisher_spark.streaming.tailer import ChangefeedTailer
+        from go_data_publisher_spark.streaming.tailer import (
+            ChangefeedTailer,
+            WirePublisher,
+        )
 
+        if bool(args.target_table) == bool(args.to_wire):
+            p.error("tail requires exactly one of --target-table / --to-wire")
         src_tbl = TranscriptTable(spark, args.source_table)
-        tgt_tbl = TranscriptTable(spark, args.target_table, n_buckets=args.buckets)
-        tailer = ChangefeedTailer(src_tbl, tgt_tbl, args.cursor,
-                                  writer_id=args.writer_id)
-        reseed_stats = tailer.reseed() if args.reseed else None
-        out = tailer.run_until_caught_up()
-        doc = {
-            "ticks": [{k: t[k] for k in ("status", "from_version", "to_version")
-                       if k in t} for t in out["ticks"]],
-            "caught_up": out["caught_up"],
-            "target_rows": tgt_tbl.snapshot().count(),
-        }
-        if reseed_stats is not None:
-            doc["reseeded_to_version"] = reseed_stats["reseeded_to_version"]
-        print(json.dumps(doc))
+        if args.to_wire:
+            if args.reseed:
+                p.error("--reseed applies to table targets only")
+            pub = WirePublisher(src_tbl, args.to_wire, args.cursor)
+            out = pub.run_until_caught_up()
+            print(json.dumps({
+                "ticks": [{k: t[k] for k in
+                           ("status", "from_version", "to_version", "path")
+                           if k in t} for t in out["ticks"]],
+                "caught_up": out["caught_up"],
+            }))
+        else:
+            tgt_tbl = TranscriptTable(spark, args.target_table,
+                                      n_buckets=args.buckets)
+            tailer = ChangefeedTailer(src_tbl, tgt_tbl, args.cursor,
+                                      writer_id=args.writer_id)
+            reseed_stats = tailer.reseed() if args.reseed else None
+            out = tailer.run_until_caught_up()
+            doc = {
+                "ticks": [{k: t[k] for k in
+                           ("status", "from_version", "to_version")
+                           if k in t} for t in out["ticks"]],
+                "caught_up": out["caught_up"],
+                "target_rows": tgt_tbl.snapshot().count(),
+            }
+            if reseed_stats is not None:
+                doc["reseeded_to_version"] = reseed_stats["reseeded_to_version"]
+            print(json.dumps(doc))
 
     elif args.cmd == "maintain":
         # tombstone expiry happens DURING the compaction rewrite — accepting
@@ -235,7 +264,8 @@ def main():
         from go_data_publisher_spark.serving import ReportServer
 
         tbl = TranscriptTable(spark, args.table)
-        srv = ReportServer(spark, tbl, port=args.port, lineage_dir=args.lineage)
+        srv = ReportServer(spark, tbl, port=args.port, lineage_dir=args.lineage,
+                           report_ttl_seconds=args.report_ttl)
         print(json.dumps({"serving": True, "port": srv.port}), flush=True)
         srv.serve_forever()
 

@@ -11,6 +11,7 @@ from go_data_publisher_spark.streaming.apply import ChangeApplier
 from go_data_publisher_spark.streaming.tailer import (
     ChangefeedRetentionError,
     ChangefeedTailer,
+    CursorMismatchError,
 )
 
 SCHEMA = (
@@ -346,3 +347,77 @@ def test_reseed_after_tick_crash_does_not_reuse_consumed_epoch(spark, tmpdir_pat
     assert _snap(tgt) == _snap(src)
     assert len(_snap(tgt)) == 2  # window A update + window B insert
     assert tailer.tick()["status"] == "idle"
+
+
+def test_reset_cursor_file_raises_mismatch_not_silent_drop(spark, tmpdir_path):
+    """ADVICE r4 (medium): a cursor file that was reset/restored points
+    next_epoch at an epoch the target already committed.  On a FRESH window
+    (no pending record) that is a cursor/target mismatch — the tick must
+    raise BEFORE writing a pending record, on every attempt, never advance
+    from_version over the backlog (which would drop the window silently)."""
+    import json
+    import os
+
+    src = _mk(spark, tmpdir_path, "src")
+    app = ChangeApplier(src)
+    _apply(spark, app, [(1, "I", "c1", 0, "user", "a", None, None, 1)], 0)
+
+    tgt = _mk(spark, tmpdir_path, "tgt")
+    cursor = f"{tmpdir_path}/cursor.json"
+    ChangefeedTailer(src, tgt, cursor).run_until_caught_up()
+
+    # the cursor file is lost/reset; a backlog window exists
+    os.unlink(cursor)
+    _apply(spark, app, [(2, "U", "c1", 0, "user", "a2", None, None, 1)], 1)
+
+    tailer = ChangefeedTailer(src, tgt, cursor)
+    with pytest.raises(CursorMismatchError, match="reseed"):
+        tailer.tick()
+    # no pending record was written: the retry raises again instead of
+    # accepting its own skip as a crash-recovery replay
+    assert not os.path.exists(cursor)
+    with pytest.raises(CursorMismatchError):
+        tailer.tick()
+
+    # the prescribed recovery works: reseed, then the feed flows again
+    tailer.reseed()
+    assert _snap(tgt) == _snap(src)
+    _apply(spark, app, [(3, "I", "c2", 1, "user", "b", None, None, 1)], 2)
+    assert tailer.tick()["status"] == "committed"
+    assert _snap(tgt) == _snap(src)
+
+    # a legitimate crash retry is still accepted: restored-from-backup
+    # cursors are distinguishable from crashed ticks by the pending record
+    cur = json.load(open(cursor))
+    _apply(spark, app, [(4, "U", "c2", 1, "user", "b2", None, None, 1)], 3)
+    assert tailer.tick()["status"] == "committed"
+    # rewind the cursor to pre-tick state WITH the pending record the tick
+    # would have left behind on a crash
+    cur["pending"] = {"to_version": src.manifest()["version"]}
+    json.dump(cur, open(cursor, "w"))
+    assert tailer.tick()["status"] == "skipped_replay"
+    assert _snap(tgt) == _snap(src)
+
+
+def test_reseed_refuses_locally_evolved_target(spark, tmpdir_path):
+    """Mirror-topology constraint (r4 verdict nit): reseed rebuilds rows
+    from the SOURCE snapshot, so a target column the source lacks would be
+    silently overwritten to NULL on every reseeded row — refuse loudly."""
+    src = _mk(spark, tmpdir_path, "src")
+    app = ChangeApplier(src)
+    _apply(spark, app, [(1, "I", "c1", 0, "user", "a", None, None, 1)], 0)
+
+    tgt = _mk(spark, tmpdir_path, "tgt")
+    tailer = ChangefeedTailer(src, tgt, f"{tmpdir_path}/cursor.json")
+    tailer.run_until_caught_up()
+
+    # the target evolves a column of its own (not a mirror any more)
+    import pyspark.sql.types as T
+    tgt.evolve_schema(T.StructType(
+        list(tgt.schema.fields) + [T.StructField("local_note", T.StringType())]
+    ))
+    _apply(spark, app, [(2, "U", "c1", 0, "user", "a2", None, None, 1)], 1)
+    src.compact()
+
+    with pytest.raises(ValueError, match="mirror targets only"):
+        tailer.reseed()

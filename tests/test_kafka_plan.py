@@ -181,3 +181,81 @@ def test_full_kafka_schema_stream_end_to_end_with_resume(spark, tmpdir_path):
             snap[col], oracle[col], check_names=False, check_dtype=False, obj=col
         )
     log.unpersist()
+
+
+def test_wire_publisher_closes_engine_to_engine_loop(spark, tmpdir_path):
+    """S5 producer loop, broker-free end-to-end (r4 verdict #4): a source
+    table's changefeed is PUBLISHED as wire records (LE-uint32 key + JSON
+    value — the reference producer's exact record layout, client.go:28-79),
+    then CONSUMED by the engine's own Kafka-path decode + stream sink into a
+    second table, across an injected crash + checkpoint resume.  Equality of
+    the two tables proves engine → wire bytes → engine replay."""
+    from go_data_publisher_spark.lake.table import TranscriptTable
+    from go_data_publisher_spark.streaming.apply import ChangeApplier
+    from go_data_publisher_spark.streaming.pipeline import run_stream_from
+    from go_data_publisher_spark.streaming.tailer import WirePublisher
+
+    schema = ("lsn long, op string, conv_id string, turn_idx int, "
+              "role string, text string, tool string, ts timestamp, "
+              "schema_version int")
+    src = TranscriptTable(spark, f"{tmpdir_path}/wsrc", n_buckets=2)
+    app_src = ChangeApplier(src)
+    app_src.apply_batch(spark.createDataFrame(
+        [(1, "I", "c1", 0, "user", "a", None, None, 1),
+         (2, "I", "c2", 0, "user", "b", None, None, 1)], schema), epoch_id=0)
+    app_src.apply_batch(spark.createDataFrame(
+        [(3, "U", "c1", 0, "user", "a2", None, None, 1),
+         (4, "D", "c2", 0, "user", None, None, None, 1)], schema), epoch_id=1)
+
+    wire_dir = f"{tmpdir_path}/wire"
+    pub = WirePublisher(src, wire_dir, f"{tmpdir_path}/pub_cursor.json")
+    out = pub.run_until_caught_up()
+    assert out["caught_up"] and out["ticks"][0]["status"] == "published"
+
+    # the published bytes ARE the reference record layout: LE-uint32 key
+    # decodes back to the envelope's lsn on every record
+    static = decode_kafka_records(
+        spark.read.option("recursiveFileLookup", "true").parquet(wire_dir))
+    assert static.where("__key_tick <> lsn").count() == 0
+
+    # incremental publish: later source commits land as NEW window dirs
+    app_src.apply_batch(spark.createDataFrame(
+        [(5, "I", "c3", 1, "user", "c", None, None, 1)], schema), epoch_id=2)
+    assert pub.tick()["status"] == "published"
+    assert pub.tick()["status"] == "idle"
+
+    def consumer_source():
+        raw = (spark.readStream.schema("key binary, value string")
+               .option("maxFilesPerTrigger", 1)
+               .option("recursiveFileLookup", "true").parquet(wire_dir))
+        return decode_kafka_records(raw).drop("__key_tick")
+
+    tgt = TranscriptTable(spark, f"{tmpdir_path}/wtgt", n_buckets=2)
+    app_tgt = ChangeApplier(tgt)
+    ckpt = f"{tmpdir_path}/wckpt"
+    state1 = run_stream_from(consumer_source(), app_tgt, ckpt,
+                             fail_after_batches=1)
+    assert state1["applied"] == 1
+    state2 = run_stream_from(consumer_source(), app_tgt, ckpt)
+    assert state2["applied"] >= 1
+
+    def snap(t):
+        return sorted(map(tuple, t.snapshot().select(
+            "conv_id", "turn_idx", "lsn", "text").collect()))
+
+    assert snap(tgt) == snap(src) == [("c1", 0, 3, "a2"), ("c3", 1, 5, "c")]
+
+    # crash idempotence on the PUBLISH side: a pending window left by a
+    # crash is rewritten in place (same path), never duplicated
+    import json as _json
+    cur = _json.load(open(f"{tmpdir_path}/pub_cursor.json"))
+    app_src.apply_batch(spark.createDataFrame(
+        [(6, "U", "c3", 1, "user", "c2", None, None, 1)], schema), epoch_id=3)
+    cur["pending"] = {"to_version": src.manifest()["version"]}
+    _json.dump(cur, open(f"{tmpdir_path}/pub_cursor.json", "w"))
+    assert pub.tick()["status"] == "published"  # the retry
+    assert pub.tick()["status"] == "idle"
+    # one window dir per consumed window — no duplicate publishes
+    import os
+    windows = sorted(d for d in os.listdir(wire_dir) if d.startswith("window-"))
+    assert len(windows) == 3

@@ -44,6 +44,25 @@ def test_sample_composes(spark):
     )
 
 
+def test_sample_null_keys_face_the_same_threshold(spark):
+    """NULL keys hash the sentinel and obey the fraction like any other key
+    (the round-4 coalesce-to-'' form kept 100% of null-keyed rows in a 1%
+    sample).  All nulls share one hash, so per (fraction, salt) they are an
+    all-or-nothing block whose membership matches the python-side md5."""
+    from go_data_publisher_spark.operators.sampling import NULL_KEY_SENTINEL
+
+    rows = [(str(i),) for i in range(200)] + [(None,)] * 50
+    df = spark.createDataFrame(rows, "k string")
+    for fraction, salt in ((0.01, ""), (0.5, ""), (0.5, "a"), (0.5, "b")):
+        kept_nulls = deterministic_sample(df, fraction, "k", salt=salt) \
+            .where("k IS NULL").count()
+        want = 50 if _py_keep(NULL_KEY_SENTINEL, fraction, salt) else 0
+        assert kept_nulls == want, (fraction, salt)
+    # the sentinel's md5 starts 'acc8...' > 1% threshold: a 1% sample must
+    # NOT contain every null-keyed row (the exact regression ADVICE flagged)
+    assert deterministic_sample(df, 0.01, "k").where("k IS NULL").count() == 0
+
+
 def test_salt_decorrelates(spark):
     df = spark.range(4000)
     a = set(r.id for r in deterministic_sample(df, 0.5, "id", salt="a").collect())

@@ -118,3 +118,82 @@ def test_healthz_answers_while_report_runs(spark, small_table):
         assert dt < 30  # generous; single-threaded would serialize fully
     finally:
         srv.shutdown()
+
+
+def test_report_on_fresh_pipeline_with_empty_lineage_dir(spark, tmpdir_path):
+    """r4 verdict #3: a lineage dir that is configured but still EMPTY (fresh
+    pipeline, report before the first commit) must yield a 200 with zeroed
+    lineage fields — the schemaless json read used to raise
+    UNABLE_TO_INFER_SCHEMA and turn /report into a 500."""
+    import os
+
+    tbl = TranscriptTable(spark, f"{tmpdir_path}/tbl", n_buckets=2)
+    app = ChangeApplier(tbl)  # no lineage writer — the dir stays empty
+    app.apply_batch(spark.createDataFrame(
+        [(1, "I", "c1", 0, "user", "a", None, None, 1)], SCHEMA), epoch_id=0)
+    lineage = f"{tmpdir_path}/lineage_empty"
+    os.makedirs(lineage)
+
+    report = build_report(spark, tbl, lineage_dir=lineage)
+    assert report["lineage_epochs"] == 0
+    assert report["rows_upserted_total"] is None  # sum over zero rows
+
+    srv = ReportServer(spark, tbl, port=0, lineage_dir=lineage)
+    srv.start()
+    try:
+        st, served = _get(srv.port, "/report")
+        assert st == 200 and served["rows"] == 1
+    finally:
+        srv.shutdown()
+
+
+def test_report_ttl_cache_builds_once_per_window(spark, small_table):
+    """r4 verdict #3 (TTL cache): polls inside the TTL window serve the
+    memoized document and run the Spark jobs ONCE — the reference fronts the
+    same report with a time-bounded cache (status-service/main.go:221-233,
+    rpc/status_service.go:118-137); expiry rebuilds and observes new commits."""
+    tbl, lineage = small_table
+    srv = ReportServer(spark, tbl, port=0, lineage_dir=lineage,
+                       report_ttl_seconds=3600.0)
+    srv.start()
+    try:
+        _, first = _get(srv.port, "/report")
+        _, second = _get(srv.port, "/report")
+        assert srv.report_builds == 1
+        assert first == second
+
+        # expire the window: the next poll rebuilds and sees a new commit
+        srv.report_ttl_seconds = 0.0
+        app = ChangeApplier(tbl)
+        app.apply_batch(spark.createDataFrame(
+            [(99, "I", "cNEW", 9, "user", "x", None, None, 1)], SCHEMA),
+            epoch_id=7)
+        _, third = _get(srv.port, "/report")
+        assert srv.report_builds == 2
+        assert third["rows"] == first["rows"] + 1
+    finally:
+        srv.shutdown()
+
+
+def test_report_skips_quarantine_section_without_fs_root(spark, small_table):
+    """ADVICE r4: tables without a filesystem .root (Iceberg backend) must
+    not AttributeError the report — the skipped-keys section is omitted."""
+    tbl, _ = small_table
+
+    class NoRootTable:
+        # quacks like the Iceberg-backed table: no .root attribute
+        key = tbl.key
+        order_col = tbl.order_col
+
+        def manifest(self):
+            return tbl.manifest()
+
+        def snapshot(self, **kw):
+            return tbl.snapshot(**kw)
+
+        def history(self):
+            return tbl.history()
+
+    report = build_report(spark, NoRootTable())
+    assert report["rows"] == 12
+    assert "rows_skipped_total" not in report
