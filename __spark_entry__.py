@@ -893,16 +893,73 @@ SQL_EMB_TOPK = """
 # ---------------------------------------------------------------------------
 
 def q_minhash_pairs_docs(spark, sf_dir):
+    """MinHash-LSH candidates verified by EXACT shingle Jaccard ≥ 0.4 —
+    oracled (new in r5) against a DuckDB brute-force all-pairs twin.
+
+    Oracle validity: the verify stage makes precision exact, so the entry
+    is green iff LSH recall is complete on the fixture.  At (r=2, b=8) the
+    per-pair miss probability is (1-s²)^8 ≤ (1-0.81)^8 ≈ 1.7e-6 at the
+    fixtures' measured similarity floor (s_min = 0.9 at sf0.01, 0.889 at
+    sf0.001), and the pair set was verified IDENTICAL to brute force at
+    both sf (25/25 and 28/28).  Banded LSH recall is not provable at the
+    0.4 threshold in general — r4's (r=4, b=4) measurably missed the one
+    0.9-jaccard pair — so the oracle doubles as the recall regression pin.
+    """
     # the sf fixtures are one parquet split; spread the shingle/signature
     # compute before the operator (a real corpus arrives in many splits).
     # Width follows the session's core count — a literal would over-partition
     # tiny corpora and under-partition a real cluster.
     width = spark.sparkContext.defaultParallelism
     docs = _t(spark, sf_dir, "documents").repartition(width)
-    return TD.minhash_lsh_pairs(docs, n_hashes=16, n_bands=4, verify_threshold=0.4)
+    pairs = TD.minhash_lsh_pairs(docs, n_hashes=16, n_bands=8,
+                                 verify_threshold=0.4)
+    return pairs.select(
+        "id_a", "id_b", (F.round("jaccard", 3) + 0.0).alias("jaccard_r3"))
+
+
+# brute-force twin of the minhash entry: same normalization (lower, collapse
+# whitespace, trim, NULL ≡ '' — matching the operator's coalesce), same
+# word-3-shingle set (one truncated shingle for docs shorter than 3 words —
+# sequence(0, greatest(n-3, 0)) semantics), exact set Jaccard.  DuckDB list
+# slices are 1-based inclusive, so w[i : i+2] is the 3-word window starting
+# at i.
+SQL_MINHASH_PAIRS = r"""
+  WITH n AS (
+    SELECT doc_id,
+           regexp_split_to_array(
+             trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')),
+             ' ') AS w
+    FROM documents
+  ), s AS (
+    SELECT doc_id,
+           list_distinct([array_to_string(w[i : i+2], ' ')
+                          for i in range(1, greatest(len(w)-2, 1) + 1)]) AS sh
+    FROM n
+  )
+  SELECT id_a, id_b, round(j, 3) + 0.0 AS jaccard_r3
+  FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.sh, b.sh))::DOUBLE
+             / len(list_distinct(list_concat(a.sh, b.sh))) AS j
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+  ) WHERE j >= 0.4
+"""
 
 
 def q_simhash_pairs_docs(spark, sf_dir):
+    """SimHash near-dup pairs — rows-only by necessity, NOT approximation.
+
+    The result is EXACT and deterministic: with n_bands = max_hamming + 1
+    (= 7 here) the pigeonhole guarantee makes banding recall exactly 1 over
+    the hamming ≤ 6 radius (operators/textdedup.py:simhash_near_duplicates
+    raises on any config that voids it, and
+    test_simhash_banding_is_radius_complete pins it against brute-force
+    hamming), and the exact-hamming verify makes precision 1 — so the
+    output is precisely {(a,b): hamming(simhash64(a), simhash64(b)) ≤ 6}.
+    No DuckDB oracle exists only because the signature is built on Spark's
+    xxhash64 (seed-42 XXH64 over Spark's value encoding), which DuckDB
+    cannot evaluate — the signature itself, not the pair search, is the
+    non-portable part."""
     docs = _t(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism)
     return TD.simhash_near_duplicates(docs, max_hamming=6)
@@ -993,6 +1050,19 @@ SQL_EMB_NEAR_DUP = """
 
 
 def q_emb_ann_lsh(spark, sf_dir):
+    """ANN top-k via RHP-LSH buckets — rows-only because the result is
+    approximate BY DESIGN and measurably so on this corpus: the fixture
+    embeddings are near-isotropic (max non-self cosine ≈ 0.37), so bucket
+    recall vs brute-force top-10 is partial (measured 3/10 at sf0.01 with
+    1-probe).  That is the honest ANN trade — the brute-force twin
+    (`emb_topk`) IS oracled and is the exactness baseline, the planted
+    true near-duplicates are recovered completely by the oracled
+    `emb_near_dup` entry, and the three LSH serving paths (one-shot /
+    precomputed-bucket / IVF) are pinned equal to each other by
+    test_ann_three_path_parity_and_bucketed_fast_path.  Raising
+    multiprobe_hamming to n_planes would force recall 1 only by probing
+    every bucket — a disguised brute force, which would make an oracle
+    here vacuous."""
     emb = _t(spark, sf_dir, "embeddings")
     q = _query_vec(spark, sf_dir)
     top = S.ann_topk_lsh(emb, q, k=10, n_planes=6, multiprobe_hamming=1)
@@ -1143,4 +1213,5 @@ def oracle_sql() -> dict[str, str]:
         "docs_lang_id_udf": SQL_DOCS_LANG_ID,
         "docs_quality_udf": SQL_DOCS_QUALITY,
         "emb_near_dup": SQL_EMB_NEAR_DUP,
+        "minhash_pairs_docs": SQL_MINHASH_PAIRS,
     }

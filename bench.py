@@ -57,7 +57,7 @@ REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
 # local[32] underperforms (BENCH.md).  Readers normalize any run's numbers
 # by host_control.slowdown_factor instead of trusting a single day's wall
 # clock (the r4 verdict's ask: make "the host had a bad day" machine-checkable).
-HOST_CONTROL_GOOD_S = float(os.environ.get("SPARK_GRAFT_HOST_GOOD_S", "1.35"))
+HOST_CONTROL_GOOD_S = float(os.environ.get("SPARK_GRAFT_HOST_GOOD_S", "0.45"))
 
 
 def host_control_probe(spark) -> float:

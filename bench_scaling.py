@@ -472,6 +472,13 @@ embarrassingly-parallel JVM aggregation (`spark.range(1e9) → xxhash64 →
 avg`, no shuffle/IO, no engine code) is measured per pair (column 6) — this
 virtualized shared box cannot express 4× even on ideal work (measured
 ceilings ≈ {ceilings}).
+Since round 5 the SAME probe is also embedded in `bench.py` itself as a
+`host_control` field (good-day constant + probe time sampled immediately
+before the headline merge and after the queries + a `slowdown_factor`
+ratio), so every `BENCH_r*.json` is self-normalizing: a reader comparing
+rounds divides wall times by that factor instead of trusting the box's day
+(the round-4 merge "regression" — 290k ev/s in the driver artifact vs 540k
+in round 3 while every query got faster — was exactly such a day).
 The normalized column is engine speedup ÷ host ceiling: what fraction of
 the parallelism the host *can* express the engine actually captures.
 The raw-vs-normalized gap at higher thread counts is host memory-bandwidth

@@ -57,8 +57,14 @@ def drop_exact_duplicates(df: DataFrame, id_col="doc_id", text_col="text") -> Da
 # ---------------------------------------------------------------------------
 
 def _shingles(text_col: str, k: int = 3):
-    """Word k-shingles as an array column (deduped per doc)."""
-    words = F.split(normalize_text(F.col(text_col)), " ")
+    """Word k-shingles as an array column (deduped per doc).
+
+    NULL text is treated as empty text (one degenerate '' shingle) so the
+    candidate and verify stages agree on it: un-coalesced, the minhash
+    signature path hashed NULL word arrays differently from '' ones while
+    exact Jaccard saw both as {''} — two NULL docs paired but a NULL/''
+    pair was silently missed by LSH (and no SQL twin could match both)."""
+    words = F.split(normalize_text(F.coalesce(F.col(text_col), F.lit(""))), " ")
     n = F.size(words)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     return F.array_distinct(
@@ -115,8 +121,12 @@ def _shingle_hashes(text_col: str, k: int = 3):
     each text byte exactly once and all downstream math is long-arithmetic
     (measured ~2× on the signature stage; the per-family re-hash saving in
     minhash_signatures stacks on top).
+
+    NULL text coalesces to '' so this hash-side shingle set identifies the
+    same documents as the string-side `_shingles` verify (see its
+    docstring).
     """
-    words = F.split(normalize_text(F.col(text_col)), " ")
+    words = F.split(normalize_text(F.coalesce(F.col(text_col), F.lit(""))), " ")
     wh = F.transform(words, lambda w: F.xxhash64(w))
     n = F.size(wh)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))

@@ -158,6 +158,13 @@ class ChangefeedTailer:
                         # target having committed it means the cursor file
                         # does not belong to this (target, writer) state —
                         # advancing from_version would drop the window.
+                        # Clear the pending record this attempt persisted
+                        # BEFORE raising, or the next attempt would accept
+                        # its own skip as a crash retry and advance silently
+                        # (reachable via two overlapping drain jobs racing
+                        # the same epoch: the loser's merge is the skip).
+                        cur["pending"] = None
+                        self._store(cur)
                         raise CursorMismatchError(
                             f"fresh window ({from_v}, {to_v}] merged as "
                             f"skipped_replay under epoch {epoch} (writer "
@@ -244,18 +251,29 @@ class ChangefeedTailer:
 
         key = list(self.target.key)
         order_col = self.target.order_col
-        if "cursor_lsn" not in m:
-            # the tombstone order stamp comes from the source cursor; a
-            # defensive -1 here would make every tombstone LOSE to every
-            # stored row and silently drop all missed deletes
-            raise ValueError(
-                f"source manifest v{ver} has no cursor_lsn — cannot stamp "
-                "reseed delete tombstones with a winning order value"
-            )
-        cursor_lsn = int(m["cursor_lsn"])
+        cursor_lsn = int(m.get("cursor_lsn", -1))
         ups = snap.withColumn("op", F.lit("I"))
         gone = (self.target.snapshot()
                 .join(snap.select(*key), on=key, how="left_anti"))
+        if cursor_lsn < 0 and gone.limit(1).count() > 0:
+            # The tombstone order stamp comes from the source cursor; a
+            # missing key OR the freshly-initialized -1 would make every
+            # tombstone LOSE to every stored row and silently drop all
+            # missed deletes — the exact loss mode this op exists to fix.
+            # A source that has ever committed a row has cursor_lsn >= 0,
+            # so reaching here with rows to delete means the source table
+            # was wiped and re-created; mirroring an empty re-init over a
+            # populated target is an operator decision, not a silent one.
+            # (With nothing to delete the stamp is unused and a fresh
+            # never-committed source reseeds harmlessly.)
+            raise ValueError(
+                f"source manifest v{ver} has cursor_lsn "
+                f"{m.get('cursor_lsn')!r} (never committed) but the target "
+                "holds rows absent from the snapshot — cannot stamp their "
+                "delete tombstones with a winning order value; if the "
+                "source was intentionally re-created, rebuild the target "
+                "fresh instead of reseeding over it"
+            )
         cols = []
         for f in ups.schema.fields:
             if f.name == "op":
@@ -330,13 +348,23 @@ class WirePublisher:
 
     Same persisted-cursor protocol as ``ChangefeedTailer`` but with PATH
     idempotence instead of epochs: a window's output dir is named by its
-    ``(from_version, to_version]`` bounds and written with overwrite, so a
-    crash between the write and the cursor advance makes the retry rewrite
-    the SAME records in place.  Spark's file-stream source keys processed
-    files by path, so a consumer that already read the window does not read
-    it again, and one that hasn't reads the completed rewrite.  (Publish
-    windows fully before pointing a live consumer at them — mid-rewrite
-    reads are the file-sink variant of a broker's uncommitted reads.)
+    ``(from_version, to_version]`` bounds, written to a temp dir and
+    ATOMICALLY renamed into place, and never touched again once present —
+    so a crash between the publish and the cursor advance makes the retry
+    a no-op (the completed dir already exists), not a rewrite.  Rewriting
+    in place would NOT be idempotent for consumers: Spark's overwrite
+    writes fresh randomly-named part files, which a path-keyed file-stream
+    consumer would re-deliver as new data — and a consumer checkpoint
+    pinned to the deleted old paths would wedge on restart.  (On an object
+    store without atomic dir rename, swap the rename for a commit-marker
+    file the consumer filters on.)
+
+    Cursor/history consistency: a fresh window whose ``from_version`` lies
+    BEHIND the newest already-published window means the cursor file was
+    reset or restored from a stale backup — republishing from there would
+    duplicate the feed's history downstream, so it raises
+    ``CursorMismatchError`` (same class of guard the tailer grew this
+    round).
 
     Retention: same as the tailer — a window that reaches behind a source
     compaction raises ``ChangefeedRetentionError``.
@@ -367,9 +395,37 @@ class WirePublisher:
             to_v = int(self.source.manifest()["version"])
             if to_v <= int(cur["from_version"]):
                 return {"status": "idle", "from_version": cur["from_version"]}
+            # cursor/history consistency BEFORE the pending record (same
+            # rationale as the tailer's epoch pre-check): a from_version
+            # behind the newest published window is a reset/restored cursor
+            # file, and publishing from it would re-deliver history as new
+            # window dirs to every path-keyed consumer
+            newest = self._newest_published_to_version()
+            if int(cur["from_version"]) < newest:
+                raise CursorMismatchError(
+                    f"publisher cursor at version {cur['from_version']} is "
+                    f"behind the newest published window (to_version "
+                    f"{newest}) in {self.out_dir}: the cursor file at "
+                    f"{self.cursor_path} was reset or restored — restore "
+                    "the matching cursor instead of republishing history"
+                )
             cur["pending"] = {"to_version": to_v}
             self._store(cur)
         from_v = int(cur["from_version"])
+        name = f"window-{from_v:012d}-{to_v:012d}"
+        path = f"{self.out_dir}/{name}"
+        if os.path.isdir(path):
+            # crash retry after a COMPLETED publish (rename is atomic, so
+            # presence == completeness): re-emitting would rotate part-file
+            # names and double-deliver to path-keyed consumers.  Checked
+            # before any source read — the retry must succeed even if the
+            # source vacuumed the pinned window's manifest during the outage
+            # (the records are already safely published).
+            cur["from_version"] = to_v
+            cur["pending"] = None
+            self._store(cur)
+            return {"status": "already_published", "path": path,
+                    "from_version": from_v, "to_version": to_v}
         try:
             probe = getattr(self.source, "has_changes", None)
             if probe is not None and not probe(from_v, to_v):
@@ -381,10 +437,13 @@ class WirePublisher:
                 else:
                     # commit_version is feed bookkeeping, not envelope payload
                     events = feed.drop("commit_version")
-                    path = (f"{self.out_dir}/"
-                            f"window-{from_v:012d}-{to_v:012d}")
+                    tmp = f"{self.out_dir}/.tmp-{name}"
+                    import shutil
+
+                    shutil.rmtree(tmp, ignore_errors=True)  # dead crash leftover
                     to_wire_kafka(events, self.key_col) \
-                        .write.mode("overwrite").parquet(path)
+                        .write.mode("overwrite").parquet(tmp)
+                    os.rename(tmp, path)
                     stats = {"status": "published", "path": path}
         except RetentionLostError as exc:
             raise ChangefeedRetentionError(
@@ -396,11 +455,23 @@ class WirePublisher:
         self._store(cur)
         return {**stats, "from_version": from_v, "to_version": to_v}
 
-    def run_until_caught_up(self, max_ticks: int = 1000) -> dict:
-        ticks = []
-        for _ in range(max_ticks):
-            stats = self.tick()
-            if stats["status"] == "idle":
-                return {"ticks": ticks, "caught_up": True}
-            ticks.append(stats)
-        return {"ticks": ticks, "caught_up": False}
+    def _newest_published_to_version(self) -> int:
+        """Largest to_version among the window dirs already in out_dir (0
+        when none) — one listdir, the publisher-side mirror of the tailer's
+        O(1) epoch-state read."""
+        try:
+            names = os.listdir(self.out_dir)
+        except FileNotFoundError:
+            return 0
+        newest = 0
+        for n in names:
+            if n.startswith("window-"):
+                try:
+                    newest = max(newest, int(n.split("-")[2]))
+                except (IndexError, ValueError):
+                    continue
+        return newest
+
+    # identical drain-loop contract; bound like _load/_store so the
+    # idle-detection / bounded-tick semantics cannot drift between the two
+    run_until_caught_up = ChangefeedTailer.run_until_caught_up

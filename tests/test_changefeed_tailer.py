@@ -421,3 +421,35 @@ def test_reseed_refuses_locally_evolved_target(spark, tmpdir_path):
 
     with pytest.raises(ValueError, match="mirror targets only"):
         tailer.reseed()
+
+
+def test_reseed_refuses_recreated_source_with_unstampable_deletes(spark, tmpdir_path):
+    """Code-review r5: a source table wiped and re-created has the
+    freshly-initialized cursor_lsn=-1; reseeding a POPULATED target from it
+    would stamp every missed-delete tombstone with -1, which loses to every
+    stored row — the silent-loss mode reseed exists to fix.  Must refuse
+    loudly.  (A fresh never-committed source with nothing to delete reseeds
+    harmlessly — the guard keys on rows-to-delete, not on the cursor alone.)"""
+    import shutil
+
+    src = _mk(spark, tmpdir_path, "src")
+    app = ChangeApplier(src)
+    _apply(spark, app, [(1, "I", "c1", 0, "user", "a", None, None, 1)], 0)
+
+    tgt = _mk(spark, tmpdir_path, "tgt")
+    tailer = ChangefeedTailer(src, tgt, f"{tmpdir_path}/cursor.json")
+    tailer.run_until_caught_up()
+    assert len(_snap(tgt)) == 1
+
+    # the source is wiped and re-created empty (cursor_lsn back to -1)
+    shutil.rmtree(f"{tmpdir_path}/src")
+    src2 = _mk(spark, tmpdir_path, "src")
+    tailer2 = ChangefeedTailer(src2, tgt, f"{tmpdir_path}/cursor2.json")
+    with pytest.raises(ValueError, match="never committed"):
+        tailer2.reseed()
+    assert len(_snap(tgt)) == 1  # nothing was silently dropped
+
+    # an empty target against the same fresh source reseeds harmlessly
+    tgt2 = _mk(spark, tmpdir_path, "tgt2")
+    stats = ChangefeedTailer(src2, tgt2, f"{tmpdir_path}/cursor3.json").reseed()
+    assert "reseeded_to_version" in stats

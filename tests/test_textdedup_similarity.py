@@ -181,6 +181,26 @@ def test_minhash_short_docs_do_not_crash(spark):
     assert any((p.id_a, p.id_b) == (1, 4) for p in pairs)  # identical 1-worders
 
 
+def test_minhash_null_text_equals_empty_text(spark):
+    """NULL text coalesces to '' in BOTH the signature and verify stages, so
+    every NULL/empty doc pairs with every other at jaccard 1.0.  Before the
+    coalesce the two stages disagreed: NULL word arrays hashed differently
+    from '' ones, so (NULL, NULL) paired while (NULL, '') was silently
+    missed by LSH — and no SQL oracle twin could match both behaviors."""
+    from go_data_publisher_spark.operators.textdedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "a b c d"), (4, "a b c d"), (5, "   ")],
+        "doc_id long, text string",
+    )
+    pairs = sorted((p.id_a, p.id_b)
+                   for p in minhash_lsh_pairs(docs, verify_threshold=0.4,
+                                              n_hashes=16, n_bands=8).collect())
+    # NULL, empty, and whitespace-only all normalize to the same degenerate
+    # {''} shingle set; the real pair (3,4) rides alongside
+    assert pairs == [(1, 2), (1, 5), (2, 5), (3, 4)]
+
+
 def test_zero_vector_never_ranks(spark):
     # 0/0 cosine used to be NaN, which Spark orders ABOVE every real number —
     # a garbage vector occupied a top-k slot and passed >= thresholds
