@@ -382,10 +382,14 @@ def main():
         "good_day_s": HOST_CONTROL_GOOD_S,
         "probe_s_before_merge": round(probe_before, 3),
         "probe_s_after_queries": round(probe_after, 3),
-        # >1 = the box is running that many times slower than its own
-        # calibrated good day; divide any wall time by this to normalize
-        "slowdown_factor": round(
-            max(probe_before, probe_after) / HOST_CONTROL_GOOD_S, 2),
+        # >1 = the box was running that many times slower than its own
+        # calibrated good day AT THE MOMENT THE HEADLINE MERGE STARTED;
+        # divide the merge wall time by this to normalize across rounds.
+        # The after-queries probe is reported separately because it also
+        # reflects accumulated JVM heap/codegen state (measured up to ~4×
+        # on the same box seconds apart), which is session state, not the
+        # host — comparing the two localizes a slowdown to box vs JVM.
+        "slowdown_factor": round(probe_before / HOST_CONTROL_GOOD_S, 2),
     }
 
     print(

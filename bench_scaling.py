@@ -536,7 +536,8 @@ live-file list under the commit lock on every merge.
 `bench.py`'s `commit_buckets` section times the same 20k-event merge into a
 16-bucket and a 256-bucket table.  The driver-side per-commit metadata work
 (thread-pooled footer-stat reads + manifest fold, reported separately as
-`driver_metadata_s`) stays sub-second at 256 buckets; the residual full-
+`driver_phase_s`, beside the executor-side `write_stage_s`) stays
+sub-second at 256 buckets; the residual full-
 commit growth is the write job producing ~16× more output files, which a
 multi-executor cluster parallelizes (and which the write-task cap bounds at
 ~2× cluster parallelism locally).
