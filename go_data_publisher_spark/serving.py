@@ -21,6 +21,7 @@ Two cost tiers, deliberately separate:
 from __future__ import annotations
 
 import json
+import os
 
 from pyspark.sql import functions as F
 
@@ -66,20 +67,27 @@ def build_report(spark, tbl, lineage_dir: str | None = None,
         # read with the DECLARED schema (same as ChangeApplier.lineage,
         # streaming/apply.py): a configured-but-still-empty lineage dir —
         # fresh pipeline, report before the first commit — must be an empty
-        # frame, not an UNABLE_TO_INFER_SCHEMA 500
+        # frame, not an UNABLE_TO_INFER_SCHEMA 500.  The dir itself may not
+        # exist yet either (ChangeApplier only creates it on the first
+        # applied batch), and a schema'd read of a missing path raises
+        # PATH_NOT_FOUND — so the fresh-pipeline report zeroes the fields.
         from .schemas import LINEAGE_SCHEMA
 
-        lin = spark.read.schema(LINEAGE_SCHEMA).json(lineage_dir)
-        report["lineage_epochs"] = lin.select("epoch_id").distinct().count()
-        report["rows_upserted_total"] = lin.agg(F.sum("rows_upserted")).first()[0]
+        if os.path.isdir(lineage_dir):
+            lin = spark.read.schema(LINEAGE_SCHEMA).json(lineage_dir)
+            report["lineage_epochs"] = (
+                lin.select("epoch_id").distinct().count())
+            report["rows_upserted_total"] = (
+                lin.agg(F.sum("rows_upserted")).first()[0])
+        else:
+            report["lineage_epochs"] = 0
+            report["rows_upserted_total"] = None
     # V4 persisted skipped-key set (served sorted, like the reference's
     # status-service/db/store.go:109 read-back).  A clean run's quarantine
     # dir holds ONLY the per-epoch marker files, which would make the
     # parquet reader raise UNABLE_TO_INFER_SCHEMA — shared probe with
     # ChangeApplier.skipped_keys.  Columns follow the table's declared
     # key/order contract, not hardcoded names.
-    import os
-
     from .ioutil import has_parquet_data
 
     # Iceberg-backed tables have no filesystem root: without an explicit

@@ -31,8 +31,10 @@ semantics).
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
+from contextlib import contextmanager
 
 from ..ioutil import atomic_write_json
 
@@ -83,106 +85,150 @@ class ChangefeedTailer:
         os.makedirs(os.path.dirname(self.cursor_path) or ".", exist_ok=True)
         atomic_write_json(self.cursor_path, cur)
 
+    @contextmanager
+    def _cursor_lock(self):
+        """Exclusive advisory lock scoping the whole load→consume→store
+        sequence to one drain at a time.  Two overlapping drain jobs on one
+        cursor file (e.g. a cron tick outliving its interval) would
+        otherwise race that sequence: the loser's stale in-memory cursor,
+        written back after the winner advanced, rolls the file back and can
+        wedge every later tick in CursorMismatchError.  flock is per-host —
+        the cursor file itself is single-host state, so that is the
+        supported topology (NOT reentrant: don't nest)."""
+        os.makedirs(os.path.dirname(self.cursor_path) or ".", exist_ok=True)
+        with open(self.cursor_path + ".lock", "w") as f:
+            fcntl.flock(f, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(f, fcntl.LOCK_UN)
+
     # -- the poll loop ------------------------------------------------------
+
+    def _drain_window(self, fresh_precheck, consume,
+                      retention_hint: str) -> dict:
+        """The window protocol shared by ``ChangefeedTailer.tick`` (merge a
+        window into the target under an epoch) and ``WirePublisher.tick``
+        (emit a window as a wire dir): load the cursor → crash-retry the
+        recorded pending window or bound a fresh one → consistency
+        pre-check → persist PENDING → consume → advance the cursor — all
+        under the cursor lock.  Factored so a protocol fix lands in both
+        consumers at once instead of being hand-mirrored.
+
+        ``fresh_precheck(cur, to_v)`` runs only on a fresh (non-retry)
+        window, BEFORE the pending record is written — a pending record
+        would make the next attempt accept a mismatch as a legitimate
+        crash retry.  ``consume(cur, from_v, to_v, had_pending)`` applies
+        the window and returns its stats; mutations it makes to ``cur``
+        (e.g. the tailer's epoch bump) are persisted by the final store.
+        """
+        from ..lake.table import RetentionLostError
+
+        with self._cursor_lock():
+            cur = self._load()
+            had_pending = bool(cur.get("pending"))
+            if had_pending:
+                # crash-recovery: re-consume exactly the recorded window
+                to_v = int(cur["pending"]["to_version"])
+            else:
+                to_v = int(self.source.manifest()["version"])
+                if to_v <= int(cur["from_version"]):
+                    return {"status": "idle",
+                            "from_version": cur["from_version"]}
+                fresh_precheck(cur, to_v)
+                cur["pending"] = {"to_version": to_v}
+                self._store(cur)
+            from_v = int(cur["from_version"])
+            try:
+                stats = consume(cur, from_v, to_v, had_pending)
+            except RetentionLostError as exc:
+                raise ChangefeedRetentionError(
+                    f"consumer at version {from_v} fell behind source "
+                    f"retention — {retention_hint}: {exc}"
+                ) from exc
+            cur["from_version"] = to_v
+            cur["pending"] = None
+            self._store(cur)
+            return {**stats, "from_version": from_v, "to_version": to_v}
 
     def tick(self) -> dict:
         """One poll: apply the next change window, advance the cursor.
 
         Returns ``{"status": "idle"}`` when caught up, else the merge stats
         plus the consumed ``(from_version, to_version]`` window."""
-        cur = self._load()
-        had_pending = bool(cur.get("pending"))
-        if had_pending:
-            # crash-recovery: re-apply exactly the recorded in-flight window
-            to_v = int(cur["pending"]["to_version"])
-        else:
-            to_v = int(self.source.manifest()["version"])
-            if to_v <= int(cur["from_version"]):
-                return {"status": "idle", "from_version": cur["from_version"]}
-            # Cursor/target consistency check BEFORE the pending record is
-            # written: on a fresh window next_epoch was never merged by a
-            # crashed tick, so the target having committed it means this
-            # cursor file does not belong to this (target, writer) state —
-            # reset, restored from a stale backup, or pointed at the wrong
-            # target.  Proceeding would merge as skipped_replay and advance
-            # from_version over the whole backlog window (silent loss); and
-            # the check must run before _store(pending), because a pending
-            # record would make the NEXT attempt accept that skip as a
-            # legitimate crash retry.  One O(1) raw-manifest read, only on
-            # the non-idle path.
-            if self.target.is_epoch_committed(int(cur["next_epoch"]),
-                                              self.writer_id):
-                raise CursorMismatchError(
-                    f"cursor epoch {cur['next_epoch']} is already committed "
-                    f"on the target (writer {self.writer_id!r}) but no "
-                    f"pending window is recorded: the cursor file at "
-                    f"{self.cursor_path} disagrees with the target's epoch "
-                    "state (reset/restored cursor?) — restore the matching "
-                    "cursor file, or reseed the target"
-                )
-            cur["pending"] = {"to_version": to_v}
-            self._store(cur)
-        from_v = int(cur["from_version"])
-        from ..lake.table import RetentionLostError
+        return self._drain_window(
+            self._precheck_fresh_epoch, self._consume_merge,
+            "re-seed the target from a snapshot")
 
-        try:
-            # manifest-only emptiness probe first (zero Spark jobs on the
-            # polling hot path); both retention shapes — compaction folded
-            # the window's deltas, or vacuum expired the recorded pending
-            # manifest during an outage — surface typed from the table
-            probe = getattr(self.source, "has_changes", None)
-            if probe is not None and not probe(from_v, to_v):
-                # metadata-only window (vacuum, no-op commits): advance the
-                # cursor without consuming an epoch — re-checking is
-                # idempotent
-                stats = {"status": "empty_window"}
-            else:
-                feed = self.source.changes(from_v, to_v)
-                if probe is None and feed.limit(1).count() == 0:
-                    stats = {"status": "empty_window"}
-                else:
-                    events = feed.drop("commit_version")
-                    # source schema evolution flows through: the feed rows
-                    # carry the source's CURRENT schema, so widen/extend the
-                    # target first or merge() would silently project the new
-                    # columns away (same order as ChangeApplier.apply_batch)
-                    self.target.evolve_schema(events.drop("op").schema)
-                    epoch = int(cur["next_epoch"])
-                    stats = self.target.merge(
-                        events, epoch_id=epoch, writer_id=self.writer_id,
-                    )
-                    if stats["status"] == "skipped_replay" and not had_pending:
-                        # a replay skip is legitimate ONLY on a crash retry
-                        # (the pending record existed at load).  On a fresh
-                        # first attempt this epoch was never used, so the
-                        # target having committed it means the cursor file
-                        # does not belong to this (target, writer) state —
-                        # advancing from_version would drop the window.
-                        # Clear the pending record this attempt persisted
-                        # BEFORE raising, or the next attempt would accept
-                        # its own skip as a crash retry and advance silently
-                        # (reachable via two overlapping drain jobs racing
-                        # the same epoch: the loser's merge is the skip).
-                        cur["pending"] = None
-                        self._store(cur)
-                        raise CursorMismatchError(
-                            f"fresh window ({from_v}, {to_v}] merged as "
-                            f"skipped_replay under epoch {epoch} (writer "
-                            f"{self.writer_id!r}): the cursor file at "
-                            f"{self.cursor_path} disagrees with the "
-                            "target's committed-epoch state (reset/restored "
-                            "cursor?) — restore the matching cursor or reseed"
-                        )
-                    cur["next_epoch"] = epoch + 1
-        except RetentionLostError as exc:
-            raise ChangefeedRetentionError(
-                f"tailer at version {from_v} fell behind source "
-                f"retention — re-seed the target from a snapshot: {exc}"
-            ) from exc
-        cur["from_version"] = to_v
-        cur["pending"] = None
-        self._store(cur)
-        return {**stats, "from_version": from_v, "to_version": to_v}
+    def _precheck_fresh_epoch(self, cur: dict, to_v: int) -> None:
+        # Cursor/target consistency check BEFORE the pending record is
+        # written: on a fresh window next_epoch was never merged by a
+        # crashed tick, so the target having committed it means this
+        # cursor file does not belong to this (target, writer) state —
+        # reset, restored from a stale backup, or pointed at the wrong
+        # target.  Proceeding would merge as skipped_replay and advance
+        # from_version over the whole backlog window (silent loss).  One
+        # O(1) raw-manifest read, only on the non-idle path.
+        if self.target.is_epoch_committed(int(cur["next_epoch"]),
+                                          self.writer_id):
+            raise CursorMismatchError(
+                f"cursor epoch {cur['next_epoch']} is already committed "
+                f"on the target (writer {self.writer_id!r}) but no "
+                f"pending window is recorded: the cursor file at "
+                f"{self.cursor_path} disagrees with the target's epoch "
+                "state (reset/restored cursor?) — restore the matching "
+                "cursor file, or reseed the target"
+            )
+
+    def _consume_merge(self, cur: dict, from_v: int, to_v: int,
+                       had_pending: bool) -> dict:
+        # manifest-only emptiness probe first (zero Spark jobs on the
+        # polling hot path); both retention shapes — compaction folded
+        # the window's deltas, or vacuum expired the recorded pending
+        # manifest during an outage — surface typed from the table
+        probe = getattr(self.source, "has_changes", None)
+        if probe is not None and not probe(from_v, to_v):
+            # metadata-only window (vacuum, no-op commits): advance the
+            # cursor without consuming an epoch — re-checking is idempotent
+            return {"status": "empty_window"}
+        feed = self.source.changes(from_v, to_v)
+        if probe is None and feed.limit(1).count() == 0:
+            return {"status": "empty_window"}
+        events = feed.drop("commit_version")
+        # source schema evolution flows through: the feed rows carry the
+        # source's CURRENT schema, so widen/extend the target first or
+        # merge() would silently project the new columns away (same order
+        # as ChangeApplier.apply_batch)
+        self.target.evolve_schema(events.drop("op").schema)
+        epoch = int(cur["next_epoch"])
+        stats = self.target.merge(
+            events, epoch_id=epoch, writer_id=self.writer_id,
+        )
+        if stats["status"] == "skipped_replay" and not had_pending:
+            # a replay skip is legitimate ONLY on a crash retry (the
+            # pending record existed at load).  On a fresh first attempt
+            # this epoch was never used — the pre-check found it
+            # uncommitted moments ago — so a skip here means some OTHER
+            # writer path committed it in between (e.g. a second tailer
+            # configured with its own cursor file but the same writer_id):
+            # advancing from_version would drop the window.  Clear the
+            # pending record this attempt persisted BEFORE raising, or the
+            # next attempt would accept its own skip as a crash retry and
+            # advance silently.  (Same-cursor-file overlap is excluded by
+            # the cursor lock, so this store cannot roll back a concurrent
+            # winner's advance.)
+            cur["pending"] = None
+            self._store(cur)
+            raise CursorMismatchError(
+                f"fresh window ({from_v}, {to_v}] merged as "
+                f"skipped_replay under epoch {epoch} (writer "
+                f"{self.writer_id!r}): the cursor file at "
+                f"{self.cursor_path} disagrees with the "
+                "target's committed-epoch state (reset/restored "
+                "cursor?) — restore the matching cursor or reseed"
+            )
+        cur["next_epoch"] = epoch + 1
+        return stats
 
     def reseed(self) -> dict:
         """Recovery from ChangefeedRetentionError: make the target equal the
@@ -202,6 +248,16 @@ class ChangefeedTailer:
         After the merge the cursor jumps to the snapshot's version; changes
         committed on the source during the reseed are picked up by the next
         regular tick."""
+        with self._cursor_lock():
+            while True:
+                out = self._reseed_attempt()
+                if out is not None:
+                    return out
+                # the pinned snapshot version was vacuumed mid-recovery:
+                # restart with a fresh pin (loop, not recursion — the
+                # cursor lock is not reentrant)
+
+    def _reseed_attempt(self) -> dict | None:
         from pyspark.sql import functions as F
 
         from ..lake.table import RetentionLostError
@@ -232,7 +288,7 @@ class ChangefeedTailer:
             # the pinned version vanished mid-recovery: restart fresh
             cur["pending_reseed"] = None
             self._store(cur)
-            return self.reseed()
+            return None
         # MIRROR TOPOLOGY ONLY: every reseeded row is rebuilt from the SOURCE
         # snapshot, so a target column the source lacks would be overwritten
         # to NULL on every row the snapshot re-upserts (merge fills missing
@@ -381,37 +437,36 @@ class WirePublisher:
 
     _load = ChangefeedTailer._load
     _store = ChangefeedTailer._store
+    _cursor_lock = ChangefeedTailer._cursor_lock
+    _drain_window = ChangefeedTailer._drain_window
 
     def tick(self) -> dict:
         """One poll: publish the next change window as wire records, then
         advance the cursor."""
-        from ..functions.codecs import to_wire_kafka
-        from ..lake.table import RetentionLostError
+        return self._drain_window(
+            self._precheck_history, self._consume_publish,
+            "republish from a snapshot")
 
-        cur = self._load()
-        if cur.get("pending"):
-            to_v = int(cur["pending"]["to_version"])
-        else:
-            to_v = int(self.source.manifest()["version"])
-            if to_v <= int(cur["from_version"]):
-                return {"status": "idle", "from_version": cur["from_version"]}
-            # cursor/history consistency BEFORE the pending record (same
-            # rationale as the tailer's epoch pre-check): a from_version
-            # behind the newest published window is a reset/restored cursor
-            # file, and publishing from it would re-deliver history as new
-            # window dirs to every path-keyed consumer
-            newest = self._newest_published_to_version()
-            if int(cur["from_version"]) < newest:
-                raise CursorMismatchError(
-                    f"publisher cursor at version {cur['from_version']} is "
-                    f"behind the newest published window (to_version "
-                    f"{newest}) in {self.out_dir}: the cursor file at "
-                    f"{self.cursor_path} was reset or restored — restore "
-                    "the matching cursor instead of republishing history"
-                )
-            cur["pending"] = {"to_version": to_v}
-            self._store(cur)
-        from_v = int(cur["from_version"])
+    def _precheck_history(self, cur: dict, to_v: int) -> None:
+        # cursor/history consistency BEFORE the pending record (same
+        # rationale as the tailer's epoch pre-check): a from_version
+        # behind the newest published window is a reset/restored cursor
+        # file, and publishing from it would re-deliver history as new
+        # window dirs to every path-keyed consumer
+        newest = self._newest_published_to_version()
+        if int(cur["from_version"]) < newest:
+            raise CursorMismatchError(
+                f"publisher cursor at version {cur['from_version']} is "
+                f"behind the newest published window (to_version "
+                f"{newest}) in {self.out_dir}: the cursor file at "
+                f"{self.cursor_path} was reset or restored — restore "
+                "the matching cursor instead of republishing history"
+            )
+
+    def _consume_publish(self, cur: dict, from_v: int, to_v: int,
+                         had_pending: bool) -> dict:
+        from ..functions.codecs import to_wire_kafka
+
         name = f"window-{from_v:012d}-{to_v:012d}"
         path = f"{self.out_dir}/{name}"
         if os.path.isdir(path):
@@ -421,39 +476,23 @@ class WirePublisher:
             # before any source read — the retry must succeed even if the
             # source vacuumed the pinned window's manifest during the outage
             # (the records are already safely published).
-            cur["from_version"] = to_v
-            cur["pending"] = None
-            self._store(cur)
-            return {"status": "already_published", "path": path,
-                    "from_version": from_v, "to_version": to_v}
-        try:
-            probe = getattr(self.source, "has_changes", None)
-            if probe is not None and not probe(from_v, to_v):
-                stats = {"status": "empty_window"}
-            else:
-                feed = self.source.changes(from_v, to_v)
-                if probe is None and feed.limit(1).count() == 0:
-                    stats = {"status": "empty_window"}
-                else:
-                    # commit_version is feed bookkeeping, not envelope payload
-                    events = feed.drop("commit_version")
-                    tmp = f"{self.out_dir}/.tmp-{name}"
-                    import shutil
+            return {"status": "already_published", "path": path}
+        probe = getattr(self.source, "has_changes", None)
+        if probe is not None and not probe(from_v, to_v):
+            return {"status": "empty_window"}
+        feed = self.source.changes(from_v, to_v)
+        if probe is None and feed.limit(1).count() == 0:
+            return {"status": "empty_window"}
+        # commit_version is feed bookkeeping, not envelope payload
+        events = feed.drop("commit_version")
+        tmp = f"{self.out_dir}/.tmp-{name}"
+        import shutil
 
-                    shutil.rmtree(tmp, ignore_errors=True)  # dead crash leftover
-                    to_wire_kafka(events, self.key_col) \
-                        .write.mode("overwrite").parquet(tmp)
-                    os.rename(tmp, path)
-                    stats = {"status": "published", "path": path}
-        except RetentionLostError as exc:
-            raise ChangefeedRetentionError(
-                f"publisher at version {from_v} fell behind source "
-                f"retention — republish from a snapshot: {exc}"
-            ) from exc
-        cur["from_version"] = to_v
-        cur["pending"] = None
-        self._store(cur)
-        return {**stats, "from_version": from_v, "to_version": to_v}
+        shutil.rmtree(tmp, ignore_errors=True)  # dead crash leftover
+        to_wire_kafka(events, self.key_col) \
+            .write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, path)
+        return {"status": "published", "path": path}
 
     def _newest_published_to_version(self) -> int:
         """Largest to_version among the window dirs already in out_dir (0

@@ -453,3 +453,58 @@ def test_reseed_refuses_recreated_source_with_unstampable_deletes(spark, tmpdir_
     tgt2 = _mk(spark, tmpdir_path, "tgt2")
     stats = ChangefeedTailer(src2, tgt2, f"{tmpdir_path}/cursor3.json").reseed()
     assert "reseeded_to_version" in stats
+
+
+def test_overlapping_drains_serialize_on_the_cursor_lock(spark, tmpdir_path):
+    """Two drain jobs sharing one cursor file (a cron tick outliving its
+    interval) must serialize, not interleave: pre-lock, the loser's stale
+    in-memory cursor — written back after the winner advanced — rolled the
+    file back and wedged every later tick in CursorMismatchError even
+    though source and target were consistent.  With the exclusive cursor
+    lock the second drain blocks until the first finishes, then sees an
+    idle window."""
+    import threading
+
+    src = _mk(spark, tmpdir_path, "src")
+    app = ChangeApplier(src)
+    _apply(spark, app, [(1, "I", "c1", 0, "user", "a", None, None, 1),
+                        (2, "I", "c2", 0, "user", "b", None, None, 1)], 0)
+    tgt = _mk(spark, tmpdir_path, "tgt")
+    cursor = f"{tmpdir_path}/cursor.json"
+
+    entered, release = threading.Event(), threading.Event()
+
+    class SlowTailer(ChangefeedTailer):
+        def _consume_merge(self, cur, from_v, to_v, had_pending):
+            entered.set()
+            assert release.wait(timeout=30)
+            return super()._consume_merge(cur, from_v, to_v, had_pending)
+
+    results_a, results_b, errors = [], [], []
+
+    def run(tailer, sink):
+        try:
+            sink.append(tailer.tick())
+        except Exception as exc:  # noqa: BLE001 — surfaced in the assert
+            errors.append(exc)
+
+    ta = threading.Thread(
+        target=run, args=(SlowTailer(src, tgt, cursor), results_a))
+    ta.start()
+    assert entered.wait(timeout=30)  # A holds the lock, mid-window
+    tb = threading.Thread(
+        target=run, args=(ChangefeedTailer(src, tgt, cursor), results_b))
+    tb.start()
+    tb.join(timeout=1.0)
+    assert tb.is_alive()  # B is blocked on the cursor lock, not racing
+    release.set()
+    ta.join(timeout=60)
+    tb.join(timeout=60)
+    assert not ta.is_alive() and not tb.is_alive()
+
+    assert errors == []  # pre-lock this raced into CursorMismatchError
+    assert results_a[0]["status"] == "committed"
+    assert results_b[0]["status"] == "idle"  # B saw A's advance, did nothing
+    assert _snap(tgt) == _snap(src)
+    # and the file was never rolled back: the next tick is a clean idle
+    assert ChangefeedTailer(src, tgt, cursor).tick()["status"] == "idle"

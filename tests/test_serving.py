@@ -147,6 +147,31 @@ def test_report_on_fresh_pipeline_with_empty_lineage_dir(spark, tmpdir_path):
         srv.shutdown()
 
 
+def test_report_with_not_yet_created_lineage_dir(spark, tmpdir_path):
+    """The actual fresh-pipeline state: ChangeApplier only CREATES the
+    lineage dir on the first applied batch, so `serve --lineage DIR` started
+    before the stream's first commit points at a path that does not exist.
+    A schema'd read of a missing path raises PATH_NOT_FOUND — the report
+    must zero the lineage fields instead of 500ing."""
+    tbl = TranscriptTable(spark, f"{tmpdir_path}/tbl", n_buckets=2)
+    app = ChangeApplier(tbl)
+    app.apply_batch(spark.createDataFrame(
+        [(1, "I", "c1", 0, "user", "a", None, None, 1)], SCHEMA), epoch_id=0)
+    missing = f"{tmpdir_path}/lineage_never_created"
+
+    report = build_report(spark, tbl, lineage_dir=missing)
+    assert report["lineage_epochs"] == 0
+    assert report["rows_upserted_total"] is None
+
+    srv = ReportServer(spark, tbl, port=0, lineage_dir=missing)
+    srv.start()
+    try:
+        st, served = _get(srv.port, "/report")
+        assert st == 200 and served["lineage_epochs"] == 0
+    finally:
+        srv.shutdown()
+
+
 def test_report_ttl_cache_builds_once_per_window(spark, small_table):
     """r4 verdict #3 (TTL cache): polls inside the TTL window serve the
     memoized document and run the Spark jobs ONCE — the reference fronts the
