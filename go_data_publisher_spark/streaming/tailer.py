@@ -31,12 +31,11 @@ semantics).
 
 from __future__ import annotations
 
-import fcntl
 import json
 import os
 from contextlib import contextmanager
 
-from ..ioutil import atomic_write_json
+from ..ioutil import atomic_write_json, locked
 
 
 class ChangefeedRetentionError(RuntimeError):
@@ -55,22 +54,20 @@ class CursorMismatchError(RuntimeError):
     backlog window.  Recovery: restore the matching cursor file, or reseed."""
 
 
-class ChangefeedTailer:
-    """Tail ``source.changes()`` into ``target`` with a persisted cursor.
+class _CursorDrainBase:
+    """The persisted-cursor window protocol shared by both CDC-out
+    consumers: ``ChangefeedTailer`` (merge windows into a mirror table)
+    and ``WirePublisher`` (emit windows as wire dirs).  The cursor store,
+    the cursor lock, the window drain, and the drain loop live HERE so a
+    protocol fix lands in both consumers at once — subclasses supply only
+    their pre-check and consume steps (see ``_drain_window``).
 
     ``cursor_path`` stores ``{"from_version", "next_epoch", "pending"}`` as
     one atomically-replaced JSON file — the consumer-group offset store of
-    the reference, one file per (tailer, target) pair.  ``writer_id``
-    scopes the target's epoch guard to this tailer so its epochs are never
-    confused with the primary pipeline's.
-    """
+    the reference, one file per (consumer, sink) pair."""
 
-    def __init__(self, source, target, cursor_path: str,
-                 writer_id: str = "cdc-out"):
-        self.source = source
-        self.target = target
-        self.cursor_path = cursor_path
-        self.writer_id = writer_id
+    source = None            # set by subclass __init__
+    cursor_path: str = ""    # set by subclass __init__
 
     # -- cursor store -------------------------------------------------------
 
@@ -92,16 +89,13 @@ class ChangefeedTailer:
         cursor file (e.g. a cron tick outliving its interval) would
         otherwise race that sequence: the loser's stale in-memory cursor,
         written back after the winner advanced, rolls the file back and can
-        wedge every later tick in CursorMismatchError.  flock is per-host —
-        the cursor file itself is single-host state, so that is the
-        supported topology (NOT reentrant: don't nest)."""
+        wedge every later tick in CursorMismatchError.  The flock idiom
+        (and its NFS caveat) is ``ioutil.locked``'s; per-host advisory
+        locking matches the cursor file's own single-host scope (NOT
+        reentrant: don't nest)."""
         os.makedirs(os.path.dirname(self.cursor_path) or ".", exist_ok=True)
-        with open(self.cursor_path + ".lock", "w") as f:
-            fcntl.flock(f, fcntl.LOCK_EX)
-            try:
-                yield
-            finally:
-                fcntl.flock(f, fcntl.LOCK_UN)
+        with locked(self.cursor_path + ".lock"):
+            yield
 
     # -- the poll loop ------------------------------------------------------
 
@@ -150,6 +144,37 @@ class ChangefeedTailer:
             cur["pending"] = None
             self._store(cur)
             return {**stats, "from_version": from_v, "to_version": to_v}
+
+    def run_until_caught_up(self, max_ticks: int = 1000) -> dict:
+        """Tick until the source has no unconsumed versions (the drain loop
+        a cron-scheduled CDC-out job runs).
+
+        Returns ``{"ticks": [...], "caught_up": bool}`` — ``caught_up`` is
+        False when ``max_ticks`` ran out with windows still unconsumed, so
+        a bounded drain (cron budget) is never mistaken for a current copy.
+        """
+        ticks = []
+        for _ in range(max_ticks):
+            stats = self.tick()
+            if stats["status"] == "idle":
+                return {"ticks": ticks, "caught_up": True}
+            ticks.append(stats)
+        return {"ticks": ticks, "caught_up": False}
+
+
+class ChangefeedTailer(_CursorDrainBase):
+    """Tail ``source.changes()`` into ``target`` with a persisted cursor.
+
+    ``writer_id`` scopes the target's epoch guard to this tailer so its
+    epochs are never confused with the primary pipeline's.
+    """
+
+    def __init__(self, source, target, cursor_path: str,
+                 writer_id: str = "cdc-out"):
+        self.source = source
+        self.target = target
+        self.cursor_path = cursor_path
+        self.writer_id = writer_id
 
     def tick(self) -> dict:
         """One poll: apply the next change window, advance the cursor.
@@ -249,13 +274,24 @@ class ChangefeedTailer:
         committed on the source during the reseed are picked up by the next
         regular tick."""
         with self._cursor_lock():
-            while True:
+            # bounded retry, not while-True: each pass re-pins a fresh
+            # snapshot version, so hitting the cap means source maintenance
+            # (compact/vacuum) is outrunning every read attempt — spinning
+            # silently while holding the cursor lock would block every cron
+            # tick on this cursor with no visible error
+            for _ in range(8):
                 out = self._reseed_attempt()
                 if out is not None:
                     return out
                 # the pinned snapshot version was vacuumed mid-recovery:
                 # restart with a fresh pin (loop, not recursion — the
                 # cursor lock is not reentrant)
+            raise ChangefeedRetentionError(
+                "reseed lost its pinned snapshot version to vacuum on 8 "
+                "consecutive attempts — source maintenance is outrunning "
+                "the reseed read; pause compact/vacuum on the source (or "
+                "raise its keep-versions) and retry"
+            )
 
     def _reseed_attempt(self) -> dict | None:
         from pyspark.sql import functions as F
@@ -373,24 +409,8 @@ class ChangefeedTailer:
             e += 1
         return e
 
-    def run_until_caught_up(self, max_ticks: int = 1000) -> dict:
-        """Tick until the source has no unconsumed versions (the drain loop
-        a cron-scheduled CDC-out job runs).
 
-        Returns ``{"ticks": [...], "caught_up": bool}`` — ``caught_up`` is
-        False when ``max_ticks`` ran out with windows still unconsumed, so
-        a bounded drain (cron budget) is never mistaken for a current copy.
-        """
-        ticks = []
-        for _ in range(max_ticks):
-            stats = self.tick()
-            if stats["status"] == "idle":
-                return {"ticks": ticks, "caught_up": True}
-            ticks.append(stats)
-        return {"ticks": ticks, "caught_up": False}
-
-
-class WirePublisher:
+class WirePublisher(_CursorDrainBase):
     """S5 produce side, broker-free: tail ``source.changes()`` and emit each
     window as Kafka-shaped wire records — key = 4-byte LE-uint32 of the
     order column (bit-exact with the reference producer's record key,
@@ -434,11 +454,6 @@ class WirePublisher:
         # the reference keys records by the ordering attribute (TickNumber);
         # default to the table's declared order column
         self.key_col = key_col or source.order_col
-
-    _load = ChangefeedTailer._load
-    _store = ChangefeedTailer._store
-    _cursor_lock = ChangefeedTailer._cursor_lock
-    _drain_window = ChangefeedTailer._drain_window
 
     def tick(self) -> dict:
         """One poll: publish the next change window as wire records, then
@@ -510,7 +525,3 @@ class WirePublisher:
                 except (IndexError, ValueError):
                     continue
         return newest
-
-    # identical drain-loop contract; bound like _load/_store so the
-    # idle-detection / bounded-tick semantics cannot drift between the two
-    run_until_caught_up = ChangefeedTailer.run_until_caught_up

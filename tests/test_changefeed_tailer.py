@@ -508,3 +508,28 @@ def test_overlapping_drains_serialize_on_the_cursor_lock(spark, tmpdir_path):
     assert _snap(tgt) == _snap(src)
     # and the file was never rolled back: the next tick is a clean idle
     assert ChangefeedTailer(src, tgt, cursor).tick()["status"] == "idle"
+
+
+def test_reseed_gives_up_loudly_when_vacuum_outruns_every_pin(spark, tmpdir_path):
+    """The reseed retry loop is bounded: if every pinned snapshot version is
+    vacuumed before it can be read, the recovery must surface a typed error
+    instead of spinning forever while holding the cursor lock (which would
+    block every cron tick on this cursor with no visible failure)."""
+    from go_data_publisher_spark.lake.table import RetentionLostError
+
+    class VacuumedOutSource:
+        order_col = "lsn"
+
+        def manifest(self, version=None):
+            if version is None:
+                return {"version": 7}  # a fresh pin is always offered...
+            raise RetentionLostError("pinned version vacuumed")
+
+        def snapshot(self, version=None):
+            raise RetentionLostError("pinned version vacuumed")
+
+    tgt = _mk(spark, tmpdir_path, "tgt")
+    tailer = ChangefeedTailer(
+        VacuumedOutSource(), tgt, f"{tmpdir_path}/cursor.json")
+    with pytest.raises(ChangefeedRetentionError, match="outrunning"):
+        tailer.reseed()
