@@ -947,22 +947,69 @@ SQL_MINHASH_PAIRS = r"""
 
 
 def q_simhash_pairs_docs(spark, sf_dir):
-    """SimHash near-dup pairs — rows-only by necessity, NOT approximation.
+    """SimHash near-dup pairs — ORACLED (new in r5, upgraded from
+    rows-only) against a DuckDB brute-force all-pairs twin.
 
-    The result is EXACT and deterministic: with n_bands = max_hamming + 1
+    The result is EXACT, not approximate: with n_bands = max_hamming + 1
     (= 7 here) the pigeonhole guarantee makes banding recall exactly 1 over
     the hamming ≤ 6 radius (operators/textdedup.py:simhash_near_duplicates
     raises on any config that voids it, and
     test_simhash_banding_is_radius_complete pins it against brute-force
     hamming), and the exact-hamming verify makes precision 1 — so the
-    output is precisely {(a,b): hamming(simhash64(a), simhash64(b)) ≤ 6}.
-    No DuckDB oracle exists only because the signature is built on Spark's
-    xxhash64 (seed-42 XXH64 over Spark's value encoding), which DuckDB
-    cannot evaluate — the signature itself, not the pair search, is the
-    non-portable part."""
+    output is precisely {(a,b): hamming(simhash64(a), simhash64(b)) ≤ 6}
+    and a brute-force twin is a true oracle, not a recall estimate.
+
+    What made the oracle possible: hash_family='md5lo' swaps the shingle
+    hash from Spark's xxhash64 (seed-42 XXH64 over Spark's value encoding —
+    not evaluable in DuckDB) to the lower 64 bits of md5 (last 8 digest
+    bytes little-endian), which Spark computes JVM-side
+    (functions/text.py:md5lo64) and DuckDB natively as
+    md5_number_lower() — same bits, so signatures, hamming distances, and
+    the pair set all match.  The xxhash64 family remains the hot-path
+    default and keeps its brute-force pytest pin."""
     docs = _t(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism)
-    return TD.simhash_near_duplicates(docs, max_hamming=6)
+    return TD.simhash_near_duplicates(docs, max_hamming=6,
+                                      hash_family="md5lo")
+
+
+# Brute-force twin of the simhash entry.  Same normalization (lower,
+# collapse whitespace, trim), same word-3-shingle multiset — one truncated
+# shingle for docs shorter than 3 words, sequence(0, greatest(n-3, 0))
+# semantics, duplicates KEPT (the vote weighs each occurrence) — same
+# md5-lower-64 shingle hash, same strict-majority vote (bit set iff
+# 2·ones > n_shingles, ties → 0), then exact all-pairs hamming ≤ 6.
+# NULL text → empty shingle array → signature 0 (the UNION ALL branch).
+SQL_SIMHASH_PAIRS = r"""
+  WITH n AS (
+    SELECT doc_id,
+           CASE WHEN text IS NULL THEN NULL
+                ELSE string_split(
+                       trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                       ' ')
+           END AS w
+    FROM documents
+  ), sh AS (
+    SELECT doc_id, md5_number_lower(array_to_string(w[i : i+2], ' ')) AS h
+    FROM n, UNNEST(range(1, greatest(len(w)-2, 1) + 1)) AS t(i)
+    WHERE w IS NOT NULL
+  ), bits AS (
+    SELECT doc_id, b.bit,
+           CASE WHEN 2 * sum(((h >> b.bit) & 1)::BIGINT)::BIGINT > count(*)
+                THEN 1 ELSE 0 END AS set_bit
+    FROM sh, (SELECT unnest(range(64)) AS bit) b
+    GROUP BY doc_id, b.bit
+  ), fp AS (
+    SELECT doc_id, sum(set_bit::UBIGINT * (1::UBIGINT << bit))::UBIGINT AS f
+    FROM bits GROUP BY doc_id
+    UNION ALL
+    SELECT doc_id, 0::UBIGINT FROM n WHERE w IS NULL
+  )
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.f, b.f))::INTEGER AS hamming
+  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.f, b.f)) <= 6
+"""
 
 
 def q_docs_lang_id_udf(spark, sf_dir):
@@ -1164,9 +1211,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_lang_id_udf": q_docs_lang_id_udf,
         "docs_quality_udf": q_docs_quality_udf,
         "emb_near_dup": q_emb_near_dup,
-        # rows-only (non-SQL-expressible hash families / engine state)
         "minhash_pairs_docs": q_minhash_pairs_docs,
         "simhash_pairs_docs": q_simhash_pairs_docs,
+        # rows-only (approximate-by-construction: LSH candidate generation
+        # with recall < 1 at its parameters; pinned by 3-path parity pytest)
         "emb_ann_lsh": q_emb_ann_lsh,
     }
 
@@ -1214,4 +1262,5 @@ def oracle_sql() -> dict[str, str]:
         "docs_quality_udf": SQL_DOCS_QUALITY,
         "emb_near_dup": SQL_EMB_NEAR_DUP,
         "minhash_pairs_docs": SQL_MINHASH_PAIRS,
+        "simhash_pairs_docs": SQL_SIMHASH_PAIRS,
     }

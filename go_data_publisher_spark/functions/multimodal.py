@@ -7,12 +7,14 @@ Decode kernels come in two tiers:
   both bottom-up and top-down rasters, row padding handled), PNG (stdlib
   zlib inflate + numpy scanline unfiltering; 8-bit gray / gray+alpha /
   RGB / RGBA / palette, all five PNG filter types, CRC-verified chunks),
+  baseline JPEG (ITU-T T.81 SOF0/SOF1: huffman entropy decode, restart
+  markers, 4:4:4/4:2:2/4:4:0/4:2:0 sampling, vectorized numpy IDCT),
   and RIFF/WAV PCM audio (the `wave` stdlib module).  These are genuine
   decoders: the test fixture encodes real rasters/waveforms and the
   features are computed from the decoded samples, roundtrip-pinned by
   tests.
 - A deterministic STUB fallback for codecs whose libraries are not in this
-  container (JPEG via Pillow, MP3/FLAC via soundfile/librosa, video
+  container (TIFF/WebP via Pillow, MP3/FLAC via soundfile/librosa, video
   frames via PyAV).  The fallback is clearly marked; on a cluster with
   those libs, extend `_decode_image` / `_decode_audio` dispatch — the
   Spark-side plumbing (schema, partitioning, mapInPandas Arrow batch shape)
@@ -346,6 +348,498 @@ def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
     return w, h, luma
 
 
+# ---------------------------------------------------------------------------
+# JPEG baseline (ITU-T T.81: SOF0/SOF1, huffman entropy coding, 8-bit)
+# ---------------------------------------------------------------------------
+
+# zigzag index → natural (row-major) coefficient index (T.81 Figure 5)
+_JPEG_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63], dtype=np.int64)
+
+
+def _jpeg_dct_basis() -> np.ndarray:
+    """8×8 DCT-II basis A with A[u, x] = c(u)/2 · cos((2x+1)uπ/16); the
+    T.81 Annex A transforms are then F = A f Aᵀ (forward) and f = Aᵀ F A
+    (inverse), applied to whole block stacks with one einsum each."""
+    u = np.arange(8)[:, None]
+    x = np.arange(8)[None, :]
+    a = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+    a[0] /= np.sqrt(2.0)
+    return a
+
+
+_JPEG_BASIS = _jpeg_dct_basis()
+
+
+def _jpeg_huff_lut(counts: list, symbols: list) -> dict:
+    """Canonical Huffman (length, code) → symbol map from a DHT segment's
+    BITS + HUFFVAL lists (the T.81 Annex C code generation)."""
+    lut, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            lut[(ln, code)] = symbols[k]
+            k += 1
+            code += 1
+        code <<= 1
+    if k != len(symbols):
+        raise ValueError("DHT symbol count does not match BITS")
+    return lut
+
+
+class _JpegBits:
+    """MSB-first bit reader over one de-stuffed entropy-coded segment."""
+
+    __slots__ = ("data", "pos", "nbits")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.nbits = len(data) * 8
+
+    def bit(self) -> int:
+        if self.pos >= self.nbits:
+            raise ValueError("truncated JPEG entropy segment")
+        b = (self.data[self.pos >> 3] >> (7 - (self.pos & 7))) & 1
+        self.pos += 1
+        return b
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huff(self, lut: dict) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | self.bit()
+            sym = lut.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG huffman code")
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """Amplitude sign extension (T.81 F.2.2.1 EXTEND): a t-bit value whose
+    leading bit is 0 encodes a negative amplitude."""
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Baseline JPEG → (width, height, luma uint8 matrix).
+
+    Real decoder, written against the public ITU-T T.81 spec with stdlib +
+    numpy only: marker/DQT/DHT/SOF/SOS parsing, canonical huffman entropy
+    decode (byte stuffing removed, DRI/RSTn restart intervals honored, DC
+    predictors reset per restart segment), dequantize → dezigzag → one
+    vectorized 8×8 IDCT einsum over the whole block stack.  Grayscale and
+    YCbCr frames with sampling factors in {1, 2} (4:4:4 / 4:2:2 / 4:4:0 /
+    4:2:0).  Only the Y plane is inverse-transformed — the downstream
+    features are luma-only and JPEG stores luma as its own component — but
+    chroma blocks are still entropy-decoded (the scan interleaves them;
+    skipping bits is not possible).  Progressive (SOF2), arithmetic,
+    lossless, hierarchical, 12-bit, and multi-scan variants raise
+    ValueError → the decode-skip path, same contract as the other kernels.
+    """
+    import struct
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos, end = 2, len(payload)
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None      # (height, width, [(cid, h_s, v_s, tq), ...])
+    restart = 0
+    scan = None       # ([(comp_idx, dc_lut, ac_lut)], [entropy segments])
+    while pos + 2 <= end:
+        if payload[pos] != 0xFF:
+            raise ValueError("lost JPEG marker sync")
+        marker = payload[pos + 1]
+        if marker == 0xFF:      # fill byte before a marker
+            pos += 1
+            continue
+        pos += 2
+        if marker == 0xD9:      # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue            # standalone markers
+        if pos + 2 > end:
+            raise ValueError("truncated JPEG segment header")
+        seglen = struct.unpack_from(">H", payload, pos)[0]
+        if seglen < 2 or pos + seglen > end:
+            raise ValueError("truncated JPEG segment")
+        seg = payload[pos + 2:pos + seglen]
+        pos += seglen
+        if marker == 0xDB:      # DQT (may hold several tables)
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                i += 1
+                need = 64 if pq == 0 else 128
+                if pq > 1 or i + need > len(seg):
+                    raise ValueError("malformed JPEG DQT")
+                dt = np.uint8 if pq == 0 else ">u2"
+                qt[tq] = np.frombuffer(seg, dt, 64, i).astype(np.int32)
+                i += need
+        elif marker == 0xC4:    # DHT (may hold several tables)
+            i = 0
+            while i + 17 <= len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                counts = list(seg[i + 1:i + 17])
+                total = sum(counts)
+                if i + 17 + total > len(seg) or tc > 1:
+                    raise ValueError("malformed JPEG DHT")
+                huff[(tc, th)] = _jpeg_huff_lut(
+                    counts, list(seg[i + 17:i + 17 + total]))
+                i += 17 + total
+        elif marker in (0xC0, 0xC1):   # SOF0 / SOF1: huffman-decodable
+            if len(seg) < 6:
+                raise ValueError("malformed JPEG SOF")
+            prec, h_img, w_img, nc = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise ValueError(f"unsupported JPEG precision {prec}")
+            if h_img <= 0 or w_img <= 0 or nc not in (1, 3) \
+                    or len(seg) < 6 + 3 * nc:
+                raise ValueError(
+                    f"unsupported JPEG frame ({w_img}x{h_img}, {nc} comps)")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
+                h_s, v_s = hv >> 4, hv & 15
+                if h_s not in (1, 2) or v_s not in (1, 2):
+                    raise ValueError(f"unsupported JPEG sampling {h_s}x{v_s}")
+                comps.append((cid, h_s, v_s, tq))
+            frame = (h_img, w_img, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "unsupported JPEG mode (progressive/arithmetic/lossless)")
+        elif marker == 0xDD:    # DRI
+            if len(seg) < 2:
+                raise ValueError("malformed JPEG DRI")
+            restart = struct.unpack_from(">H", seg, 0)[0]
+        elif marker == 0xDA:    # SOS: header, then the entropy-coded data
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            if scan is not None:
+                raise ValueError("multi-scan JPEG not supported")
+            ns = seg[0] if seg else 0
+            if ns != len(frame[2]) or len(seg) < 1 + 2 * ns + 3:
+                raise ValueError(
+                    "only single interleaved-scan JPEG supported")
+            sel = []
+            for c in range(ns):
+                cs, tdta = seg[1 + 2 * c], seg[2 + 2 * c]
+                idx = next((k for k, comp in enumerate(frame[2])
+                            if comp[0] == cs), None)
+                if idx is None:
+                    raise ValueError(f"SOS references unknown component {cs}")
+                td, ta = tdta >> 4, tdta & 15
+                if (0, td) not in huff or (1, ta) not in huff:
+                    raise ValueError("SOS references missing huffman table")
+                sel.append((idx, huff[(0, td)], huff[(1, ta)]))
+            # carve entropy data: de-stuff FF00, split at RSTn boundaries
+            segs, cur, i = [], bytearray(), pos
+            while i < end:
+                b = payload[i]
+                if b != 0xFF:
+                    cur.append(b)
+                    i += 1
+                    continue
+                m2 = payload[i + 1] if i + 1 < end else 0xD9
+                if m2 == 0x00:
+                    cur.append(0xFF)
+                    i += 2
+                elif 0xD0 <= m2 <= 0xD7:
+                    segs.append(bytes(cur))
+                    cur = bytearray()
+                    i += 2
+                else:
+                    break
+            segs.append(bytes(cur))
+            pos = i
+            scan = (sel, segs)
+        # APPn / COM / other segments: skipped
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    h_img, w_img, comps = frame
+    sel, segs = scan
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcu_cols = -(-w_img // (8 * hmax))
+    mcu_rows = -(-h_img // (8 * vmax))
+    n_mcus = mcu_cols * mcu_rows
+    blocks = [np.zeros((mcu_rows * c[2], mcu_cols * c[1], 64), np.int32)
+              for c in comps]
+    done = 0
+    for segdata in segs:
+        if done >= n_mcus:
+            break   # tolerate a stray trailing restart segment
+        preds = [0] * len(comps)    # DC predictors reset at every RSTn
+        reader = _JpegBits(segdata)
+        quota = min(restart, n_mcus - done) if restart else n_mcus - done
+        for _ in range(quota):
+            my, mx = divmod(done, mcu_cols)
+            for idx, dc_lut, ac_lut in sel:
+                _, h_s, v_s, _ = comps[idx]
+                for by in range(v_s):
+                    for bx in range(h_s):
+                        coeff = blocks[idx][my * v_s + by, mx * h_s + bx]
+                        t = reader.huff(dc_lut)
+                        if t > 15:
+                            raise ValueError("bad JPEG DC category")
+                        diff = _jpeg_extend(reader.bits(t), t) if t else 0
+                        preds[idx] += diff
+                        coeff[0] = preds[idx]
+                        k = 1
+                        while k < 64:
+                            rs = reader.huff(ac_lut)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r != 15:
+                                    break       # EOB
+                                k += 16         # ZRL
+                                continue
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC run past block end")
+                            coeff[k] = _jpeg_extend(reader.bits(s), s)
+                            k += 1
+            done += 1
+    if done < n_mcus:
+        raise ValueError(f"JPEG scan ended early ({done}/{n_mcus} MCUs)")
+    # reconstruct the luma plane: dequant (zigzag) → dezigzag → IDCT,
+    # one einsum over the whole block stack
+    _, h_s, v_s, tq = comps[0]
+    if tq not in qt:
+        raise ValueError(f"JPEG luma references missing quant table {tq}")
+    zz = blocks[0].reshape(-1, 64).astype(np.float64) * qt[tq][None, :]
+    nat = np.zeros_like(zz)
+    nat[:, _JPEG_ZIGZAG] = zz
+    a = _JPEG_BASIS
+    px = np.einsum("ux,nuv,vy->nxy", a, nat.reshape(-1, 8, 8), a) + 128.0
+    gby, gbx = mcu_rows * v_s, mcu_cols * h_s
+    grid = px.reshape(gby, gbx, 8, 8).transpose(0, 2, 1, 3) \
+             .reshape(gby * 8, gbx * 8)
+    comp_h = -(-h_img * v_s // vmax)
+    comp_w = -(-w_img * h_s // hmax)
+    luma = grid[:comp_h, :comp_w]
+    if v_s != vmax or h_s != hmax:   # Y subsampled relative to another comp
+        luma = np.repeat(np.repeat(luma, vmax // v_s, 0), hmax // h_s, 1)
+    luma = luma[:h_img, :w_img]
+    return w_img, h_img, np.clip(np.round(luma), 0, 255).astype(np.uint8)
+
+
+class _JpegBitWriter:
+    """MSB-first bit writer with T.81 byte stuffing (FF → FF 00)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, value: int, nbits: int):
+        for i in range(nbits - 1, -1, -1):
+            self._acc = (self._acc << 1) | ((value >> i) & 1)
+            self._n += 1
+            if self._n == 8:
+                self.out.append(self._acc)
+                if self._acc == 0xFF:
+                    self.out.append(0x00)
+                self._acc = 0
+                self._n = 0
+
+    def flush(self):
+        if self._n:
+            pad = 8 - self._n
+            self.write((1 << pad) - 1, pad)   # pad with 1-bits
+
+
+def _jpeg_cat(v: int) -> int:
+    """Amplitude category (bit length of |v|; 0 for 0)."""
+    return int(abs(v)).bit_length()
+
+
+def _jpeg_amp(v: int, t: int) -> int:
+    """t-bit amplitude encoding (inverse of _jpeg_extend)."""
+    return v + (1 << t) - 1 if v < 0 else v
+
+
+def _jpeg_fixed_table(symbols_used) -> tuple[list, list, dict]:
+    """Single-length canonical table over exactly the symbols a fixture
+    image emits: length L = ceil(log2(n+1)), so the all-ones code stays
+    reserved (T.81 Annex C).  Valid but unoptimized — the encoder exists
+    to exercise decode_jpeg, not to compress."""
+    syms = sorted(symbols_used)
+    ln = 1
+    while (1 << ln) - 1 < len(syms):   # codes 0..n-1 < 2^L - 1 (all-ones)
+        ln += 1
+    counts = [0] * 16
+    counts[ln - 1] = len(syms)
+    enc = {s: (ln, i) for i, s in enumerate(syms)}
+    return counts, syms, enc
+
+
+def _jpeg_block_tokens(zzrow: np.ndarray, pred: int) -> tuple[list, int]:
+    """One block's (dc?, symbol, amp_bits, amp_value) token list + new DC
+    predictor, following T.81 F.1.2 run/size coding."""
+    dc = int(zzrow[0])
+    t = _jpeg_cat(dc - pred)
+    toks = [(True, t, t, _jpeg_amp(dc - pred, t))]
+    run = 0
+    last_nz = 0
+    nz = np.nonzero(zzrow[1:])[0]
+    last_nz = int(nz[-1]) + 1 if len(nz) else 0
+    for k in range(1, last_nz + 1):
+        v = int(zzrow[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            toks.append((False, 0xF0, 0, 0))    # ZRL
+            run -= 16
+        s = _jpeg_cat(v)
+        toks.append((False, (run << 4) | s, s, _jpeg_amp(v, s)))
+        run = 0
+    if last_nz < 63:
+        toks.append((False, 0x00, 0, 0))        # EOB
+    return toks, dc
+
+
+def _box_mean(p: np.ndarray, fy: int, fx: int) -> np.ndarray:
+    """fy×fx box-mean downsampling with edge-replicated padding."""
+    if fy == 1 and fx == 1:
+        return p
+    hh, ww = p.shape
+    ph, pw = -(-hh // fy) * fy, -(-ww // fx) * fx
+    pp = np.pad(p, ((0, ph - hh), (0, pw - ww)), mode="edge")
+    return pp.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+
+
+def encode_jpeg_baseline(px: np.ndarray, quant: int | np.ndarray = 1,
+                         restart_interval: int = 0,
+                         luma_sampling: tuple[int, int] = (2, 2)) -> bytes:
+    """Baseline JPEG fixture encoder (T.81 SOF0), the roundtrip twin of
+    `decode_jpeg`: grayscale (h, w) as one component, RGB (h, w, 3) as
+    BT.601 YCbCr with chroma subsampled by ``luma_sampling`` = (h, v) Y
+    factors — (2,2) = 4:2:0, (2,1) = 4:2:2, (1,2) = 4:4:0, (1,1) = 4:4:4.
+    Vectorized forward DCT (same basis as the decoder), flat or
+    caller-supplied quant table, per-image single-length huffman tables,
+    optional DRI/RSTn restart intervals.  Fixture-grade on purpose — it
+    exists so tests can pin the decoder against analytically-known rasters
+    without any codec library.
+    """
+    import struct
+
+    color = px.ndim == 3
+    h_img, w_img = px.shape[:2]
+    if isinstance(quant, (int, np.integer)):
+        qnat = np.full(64, int(quant), dtype=np.int32)
+    else:
+        qnat = np.asarray(quant, dtype=np.int32).reshape(64)
+    qnat = np.clip(qnat, 1, 255)
+    qzz = qnat[_JPEG_ZIGZAG]
+
+    if color:
+        sh, sv = luma_sampling
+        if sh not in (1, 2) or sv not in (1, 2):
+            raise ValueError(f"unsupported luma sampling {luma_sampling}")
+        rgb = px.astype(np.float64)
+        y = (0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2])
+        cb = 128.0 - 0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] \
+            + 0.5 * rgb[..., 2]
+        cr = 128.0 + 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] \
+            - 0.081312 * rgb[..., 2]
+        planes = [y, _box_mean(cb, sv, sh), _box_mean(cr, sv, sh)]
+        samps = [(sh, sv), (1, 1), (1, 1)]
+        tqs = [0, 1, 1]
+        classes = [0, 1, 1]     # huffman class: 0 = luma, 1 = chroma
+    else:
+        planes = [px.astype(np.float64)]
+        samps = [(1, 1)]
+        tqs = [0]
+        classes = [0]
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcu_cols = -(-w_img // (8 * hmax))
+    mcu_rows = -(-h_img // (8 * vmax))
+    n_mcus = mcu_cols * mcu_rows
+
+    # per component: pad to the MCU grid, forward-DCT, quantize, zigzag
+    a = _JPEG_BASIS
+    comp_zz = []
+    for plane, (h_s, v_s) in zip(planes, samps):
+        th, tw = mcu_rows * v_s * 8, mcu_cols * h_s * 8
+        p = np.pad(plane, ((0, th - plane.shape[0]), (0, tw - plane.shape[1])),
+                   mode="edge") - 128.0
+        nby, nbx = th // 8, tw // 8
+        fb = p.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
+        coeff = np.einsum("ux,nxy,vy->nuv", a, fb.reshape(-1, 8, 8), a)
+        q = np.round(coeff.reshape(-1, 64) / qnat[None, :]).astype(np.int64)
+        comp_zz.append(q[:, _JPEG_ZIGZAG].reshape(nby, nbx, 64))
+
+    # tokenize MCU-interleaved with restart-aware DC predictor resets
+    segments, seg, preds = [], [], [0] * len(planes)
+    for m in range(n_mcus):
+        if restart_interval and m and m % restart_interval == 0:
+            segments.append(seg)
+            seg, preds = [], [0] * len(planes)
+        my, mx = divmod(m, mcu_cols)
+        for ci, (h_s, v_s) in enumerate(samps):
+            for by in range(v_s):
+                for bx in range(h_s):
+                    zzrow = comp_zz[ci][my * v_s + by, mx * h_s + bx]
+                    toks, preds[ci] = _jpeg_block_tokens(zzrow, preds[ci])
+                    seg.extend((classes[ci], *t) for t in toks)
+    segments.append(seg)
+
+    # build the 2 (gray) or 4 (color) tables from the symbols actually used
+    used: dict[tuple[int, bool], set] = {}
+    for seg in segments:
+        for cls, is_dc, sym, _, _ in seg:
+            used.setdefault((cls, is_dc), set()).add(sym)
+    tables = {k: _jpeg_fixed_table(v) for k, v in used.items()}
+
+    out = bytearray(b"\xff\xd8")
+    for tq in sorted(set(tqs)):
+        out += b"\xff\xdb" + struct.pack(">HB", 2 + 1 + 64, tq) \
+            + qzz.astype(np.uint8).tobytes()
+    nc = len(planes)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h_img, w_img, nc)
+    for ci, (h_s, v_s) in enumerate(samps):
+        out += bytes([ci + 1, (h_s << 4) | v_s, tqs[ci]])
+    for (cls, is_dc), (counts, syms, _) in sorted(tables.items()):
+        tc = 0 if is_dc else 1
+        out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + len(syms)) \
+            + bytes([(tc << 4) | cls]) + bytes(counts) + bytes(syms)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 2 + 1 + 2 * nc + 3, nc)
+    for ci in range(nc):
+        out += bytes([ci + 1, (classes[ci] << 4) | classes[ci]])
+    out += b"\x00\x3f\x00"      # Ss=0, Se=63, AhAl=0
+    for si, seg in enumerate(segments):
+        if si:
+            out += bytes([0xFF, 0xD0 + ((si - 1) % 8)])
+        w = _JpegBitWriter()
+        for cls, is_dc, sym, nbits, amp in seg:
+            ln, code = tables[(cls, is_dc)][2][sym]
+            w.write(code, ln)
+            if nbits:
+                w.write(amp, nbits)
+        w.flush()
+        out += w.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def encode_wav(pcm: np.ndarray, sample_rate: int) -> bytes:
     """float32 [-1, 1] mono → 16-bit PCM RIFF/WAV bytes."""
     buf = io.BytesIO()
@@ -378,8 +872,9 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 # ---------------------------------------------------------------------------
 
 def _decode_image_stub(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """STUB fallback for non-netpbm/BMP/PNG images (real path:
-    PIL.Image.open — JPEG and friends need codec libs this container lacks).
+    """STUB fallback for non-netpbm/BMP/PNG/JPEG images (real path:
+    PIL.Image.open — TIFF/WebP and friends need codec libs this container
+    lacks).
     Derives deterministic (w, h, pixels) from the payload bytes so the
     downstream feature math stays exercised for opaque fixtures."""
     h64 = int.from_bytes(payload[:8].ljust(8, b"\0"), "little")
@@ -405,6 +900,8 @@ def _decode_image(payload: bytes) -> tuple[int, int, np.ndarray]:
         return decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg(payload)
     return _decode_image_stub(payload)
 
 
@@ -502,15 +999,20 @@ def _encode_media_row(mid: int, seed: int = 3) -> tuple[str, str, bytes]:
     if kind == "image":
         w, h = 16 + (mid * 7) % 48, 16 + (mid * 13) % 48
         rng = np.random.default_rng([seed, mid])
-        # rotate the three real raster codecs so the mapInPandas path
-        # exercises every dispatch branch (PNG also rotates its filter type)
-        variant = (mid // 3) % 3
+        # rotate the four real raster codecs so the mapInPandas path
+        # exercises every dispatch branch (PNG also rotates its filter
+        # type; JPEG rotates its restart interval)
+        variant = (mid // 3) % 4
         if variant == 1:
             px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
             return kind, "image/bmp", encode_bmp(px)
         if variant == 2:
             px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
             return kind, "image/png", encode_png(px, filter_type=mid % 5)
+        if variant == 3:
+            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            return kind, "image/jpeg", encode_jpeg_baseline(
+                px, quant=1, restart_interval=mid % 5)
         px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
         return kind, "image/x-portable-graymap", encode_pgm(px)
     if kind == "audio":

@@ -159,16 +159,43 @@ def _fingerprint64_impl(text: pd.Series) -> pd.Series:
     return pd.Series(out.astype(np.int64))
 
 
-def _shingle_hashes(text: Column, shingle_size: int) -> Column:
-    """Word-shingle xxhash64 array (JVM-side — the hash family must be
+def md5lo64(col: Column) -> Column:
+    """Lower 64 bits of md5 as a signed long: the last 8 digest bytes read
+    little-endian — bit-identical to DuckDB's ``md5_number_lower()``, which
+    is what makes an md5-family SimHash SQL-oracle-able.  Pure Catalyst:
+    md5 hex → 8 × (conv(hex pair) << 8j) OR-folded; byte 15 shifted into the
+    sign bit wraps exactly like the uint64 → int64 reinterpretation."""
+    hx = F.md5(col)
+    val = None
+    for j in range(8):
+        byte = F.conv(F.substring(hx, 17 + 2 * j, 2), 16, 10).cast("long")
+        part = F.shiftleft(byte, 8 * j)
+        val = part if val is None else val.bitwiseOR(part)
+    return val
+
+
+# hash families available to the simhash builders.  xxhash64 is the hot-path
+# default (one native JVM call per shingle); md5lo trades ~8 byte-extracts
+# per shingle for a hash DuckDB can reproduce (md5_number_lower), which turns
+# the simhash contract entry from rows-only into a full value-hash oracle.
+_SHINGLE_HASHERS = {
+    "xxhash64": F.xxhash64,
+    "md5lo": md5lo64,
+}
+
+
+def _shingle_hashes(text: Column, shingle_size: int,
+                    hash_family: str = "xxhash64") -> Column:
+    """Word-shingle 64-bit-hash array (JVM-side — the hash family must be
     identical in both simhash implementations)."""
+    hasher = _SHINGLE_HASHERS[hash_family]
     words = F.split(normalize_text(text), " ")
     n = F.size(words)
     idx = F.sequence(F.lit(0), F.greatest(n - shingle_size, F.lit(0)))
     shingles = F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, shingle_size))
     )
-    return F.transform(shingles, lambda s: F.xxhash64(s))
+    return F.transform(shingles, lambda s: hasher(s))
 
 
 @functools.lru_cache(maxsize=None)
@@ -207,15 +234,18 @@ def _simhash_vote_impl(hashes: pd.Series) -> pd.Series:
     return pd.Series(sig.view(np.int64) if sig.dtype == np.uint64 else sig).astype("int64")
 
 
-def simhash64(text: Column, shingle_size: int = 3) -> Column:
-    """SimHash over word shingles: shingle → xxhash64 (JVM) → per-bit
+def simhash64(text: Column, shingle_size: int = 3,
+              hash_family: str = "xxhash64") -> Column:
+    """SimHash over word shingles: shingle → 64-bit hash (JVM) → per-bit
     majority vote (Arrow-batched numpy, one pass) → 64-bit signature.
 
     Identical output to `simhash64_expr` (pinned by a parity test); the
     vectorized vote replaces 64 Catalyst aggregate passes over each row's
     shingle-hash array with one numpy segment-sum per batch.
+    ``hash_family='md5lo'`` swaps the shingle hash for DuckDB's
+    ``md5_number_lower`` so the signature is reproducible in SQL.
     """
-    return _simhash_vote_udf()(_shingle_hashes(text, shingle_size))
+    return _simhash_vote_udf()(_shingle_hashes(text, shingle_size, hash_family))
 
 
 def simhash64_expr(text: Column, shingle_size: int = 3) -> Column:

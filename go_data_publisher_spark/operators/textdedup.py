@@ -251,7 +251,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col="doc_id", text_col="text", k: int = 
 # ---------------------------------------------------------------------------
 
 def simhash_near_duplicates(df: DataFrame, id_col="doc_id", text_col="text",
-                            max_hamming: int = 3, n_bands: int | None = None) -> DataFrame:
+                            max_hamming: int = 3, n_bands: int | None = None,
+                            hash_family: str = "xxhash64") -> DataFrame:
     """Near-dup pairs by SimHash: band the 64-bit signature into ``n_bands``
     chunks — any pair within hamming distance < n_bands must share at least
     one band verbatim (pigeonhole) — then verify exact hamming ≤ max_hamming.
@@ -261,6 +262,11 @@ def simhash_near_duplicates(df: DataFrame, id_col="doc_id", text_col="text",
     band and the pair is silently missed).  ``n_bands`` therefore defaults
     to ``max_hamming + 1`` with near-equal widths summing to 64, and a
     smaller explicit value raises.
+
+    ``hash_family`` selects the shingle hash (see
+    ``functions.text._SHINGLE_HASHERS``): ``xxhash64`` is the hot-path
+    default; ``md5lo`` is bit-reproducible in DuckDB
+    (``md5_number_lower``), making the output SQL-oracle-able.
     """
     if n_bands is None:
         n_bands = max_hamming + 1
@@ -273,7 +279,9 @@ def simhash_near_duplicates(df: DataFrame, id_col="doc_id", text_col="text",
     base, rem = divmod(64, n_bands)
     widths = [base + 1] * rem + [base] * (n_bands - rem)
     offsets = [sum(widths[:i]) for i in range(n_bands)]
-    sigs = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sig"))
+    sigs = df.select(
+        F.col(id_col).alias("id"),
+        simhash64(F.col(text_col), hash_family=hash_family).alias("sig"))
     bands = sigs.select(
         "id",
         "sig",

@@ -35,7 +35,7 @@ def test_wav_roundtrip_and_rms():
 def test_image_features_use_real_decode(spark):
     media = M.make_media_fixture(spark, n=12)
     feats = {r.media_id: r for r in M.extract_image_features(
-        media.where("kind = 'image'")).collect()}
+        media.where("mime = 'image/x-portable-graymap'")).collect()}
     # recompute one image independently from the fixture rule (seed=3 default)
     mid = next(iter(feats))
     w, h = 16 + (mid * 7) % 48, 16 + (mid * 13) % 48
@@ -151,7 +151,7 @@ def test_bmp_roundtrip_and_variants():
 
 
 def test_bmp_flows_through_image_features(spark):
-    """The fixture rotates all three real raster codecs; the mapInPandas
+    """The fixture rotates all four real raster codecs; the mapInPandas
     feature extractor must decode every one (mime tells which rows)."""
     from go_data_publisher_spark.functions.multimodal import (
         extract_image_features,
@@ -161,7 +161,8 @@ def test_bmp_flows_through_image_features(spark):
     media = make_media_fixture(spark, n=36)
     imgs = media.where("kind = 'image'")
     mimes = {r["mime"] for r in imgs.select("mime").distinct().collect()}
-    assert mimes == {"image/x-portable-graymap", "image/bmp", "image/png"}
+    assert mimes == {"image/x-portable-graymap", "image/bmp", "image/png",
+                     "image/jpeg"}
     feats = extract_image_features(imgs)
     # every image row decodes (no skips), real dimensions carried through
     assert feats.count() == imgs.count()
@@ -356,3 +357,119 @@ def test_png_short_ihdr_is_valueerror_not_struct_error():
            + _png_chunk(b"IEND", b""))
     with pytest.raises(ValueError, match="IHDR length"):
         decode_png(bad)
+
+
+def test_jpeg_roundtrip_gray_color_and_restarts():
+    """Baseline JPEG decode pinned against analytically-known rasters:
+    flat 8×8 blocks are DC-only (closed form, exact at quant=1), smooth
+    gradients and random rasters roundtrip within ±1 at quant=1, the
+    color path reconstructs the BT.601 Y plane, restart intervals reset
+    DC predictors correctly."""
+    from go_data_publisher_spark.functions.multimodal import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+
+    rng = np.random.default_rng(7)
+    # flat gray: DC-only blocks, exact reconstruction
+    for v in (0, 17, 128, 255):
+        w, h, out = decode_jpeg(
+            encode_jpeg_baseline(np.full((8, 8), v, dtype=np.uint8), quant=1))
+        assert (w, h) == (8, 8)
+        assert np.abs(out.astype(int) - v).max() <= 1
+    # gradient, non-multiple-of-8 dims (edge padding + crop path)
+    px = (np.add.outer(np.arange(21) * 3, np.arange(13) * 5) % 256) \
+        .astype(np.uint8)
+    w, h, out = decode_jpeg(encode_jpeg_baseline(px, quant=1))
+    assert (w, h) == (13, 21)
+    assert np.abs(out.astype(int) - px.astype(int)).max() <= 1
+    # random raster with DRI/RSTn restart markers
+    px = rng.integers(0, 256, size=(40, 56), dtype=np.uint8)
+    w, h, out = decode_jpeg(
+        encode_jpeg_baseline(px, quant=1, restart_interval=3))
+    assert np.abs(out.astype(int) - px.astype(int)).max() <= 1
+    # color 4:2:0: decoded luma is the BT.601 Y plane, not a channel mix
+    px = rng.integers(0, 256, size=(33, 50, 3), dtype=np.uint8)
+    w, h, out = decode_jpeg(encode_jpeg_baseline(px, quant=1))
+    assert (w, h) == (50, 33)
+    yref = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+    assert np.abs(out.astype(float) - yref).max() <= 2.0
+    # realistic (lossy) quant table still lands near the source
+    qt = np.clip(np.add.outer(np.arange(8), np.arange(8)) * 4 + 16,
+                 1, 255).reshape(64)
+    px = (np.add.outer(np.arange(64), np.arange(64)) % 256).astype(np.uint8)
+    w, h, out = decode_jpeg(encode_jpeg_baseline(px, quant=qt))
+    assert np.abs(out.astype(float) - px.astype(float)).mean() < 8.0
+
+
+def test_jpeg_all_subsampling_modes_decode():
+    """4:4:4, 4:2:2, 4:4:0 and 4:2:0 scans all decode; the luma plane is
+    sampling-invariant at quant=1 (chroma layout must not disturb Y)."""
+    from go_data_publisher_spark.functions.multimodal import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+
+    px = np.random.default_rng(11).integers(
+        0, 256, size=(19, 26, 3), dtype=np.uint8)
+    yref = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+    for samp in [(1, 1), (2, 1), (1, 2), (2, 2)]:
+        w, h, out = decode_jpeg(
+            encode_jpeg_baseline(px, quant=1, luma_sampling=samp))
+        assert (w, h) == (26, 19), samp
+        assert np.abs(out.astype(float) - yref).max() <= 2.0, samp
+
+
+def test_jpeg_malformed_payloads_hit_skip_path():
+    """Every malformed-JPEG shape must raise ValueError (the decode-skip
+    contract), never struct.error/IndexError that would kill the job."""
+    import pytest
+
+    from go_data_publisher_spark.functions.multimodal import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+
+    px = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    good = bytearray(encode_jpeg_baseline(px, quant=1))
+
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"BM123456")
+    # progressive mode marker (SOF2)
+    prog = bytes(good).replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="unsupported JPEG mode"):
+        decode_jpeg(prog)
+    # truncated mid-scan
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(good[:len(good) // 2]))
+    # SOS before any SOF
+    sof_at = bytes(good).find(b"\xff\xc0")
+    sos_at = bytes(good).find(b"\xff\xda")
+    headless = bytes(good[:sof_at]) + bytes(good[sos_at:])
+    with pytest.raises(ValueError, match="SOS before SOF"):
+        decode_jpeg(headless)
+    # 12-bit precision frame
+    deep = bytearray(good)
+    deep[sof_at + 4] = 12
+    with pytest.raises(ValueError, match="precision"):
+        decode_jpeg(bytes(deep))
+
+
+def test_jpeg_flows_through_image_features(spark):
+    """JPEG fixture rows decode through the mapInPandas extractor with
+    real dimensions, and luma stays within the quant=1 envelope of the
+    fixture rule's BT.601 Y plane (JPEG is lossy — exact equality is the
+    wrong pin; a tight mean bound is the honest one)."""
+    media = M.make_media_fixture(spark, n=48)
+    jpgs = media.where("mime = 'image/jpeg'")
+    n_jpg = jpgs.count()
+    assert n_jpg > 0
+    feats = {r.media_id: r for r in M.extract_image_features(jpgs).collect()}
+    assert len(feats) == n_jpg  # no skips
+    for mid, r in feats.items():
+        w, h = 16 + (mid * 7) % 48, 16 + (mid * 13) % 48
+        px = np.random.default_rng([3, mid]).integers(
+            0, 256, size=(h, w, 3), dtype=np.uint8)
+        yref = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+        assert (r.width, r.height) == (w, h)
+        assert abs(r.mean_luma - yref.mean()) < 1.0

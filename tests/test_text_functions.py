@@ -167,3 +167,61 @@ def test_wire_roundtrip_non_ascii_and_multiline(spark):
     decoded = from_wire(wire, schema=df.schema).first()
     assert decoded["text"] == "a <tag> & 日本語 \nnewline"
     assert decoded["lsn"] == 42
+
+
+def test_md5lo64_matches_duckdb_md5_number_lower(spark):
+    """md5lo64 (Catalyst conv/shiftleft over the md5 hex) must be
+    bit-identical — as a signed-long reinterpretation — to DuckDB's
+    md5_number_lower(), i.e. the last 8 md5 digest bytes little-endian.
+    That equality is what lets the simhash contract entry carry a full
+    DuckDB value-hash oracle.  Covers empty string, single char, spaces,
+    and multibyte UTF-8 (both engines hash the UTF-8 bytes)."""
+    import hashlib
+
+    import duckdb
+
+    samples = ["", "x", "hello world", "the quick brown fox",
+               "zwei  würste", "这是一个中文句子", "a b c d e f g"]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    got = {r["s"]: r["h"] for r in
+           df.select("s", TX.md5lo64(F.col("s")).alias("h")).collect()}
+    con = duckdb.connect()
+    for s in samples:
+        want_u = int.from_bytes(hashlib.md5(s.encode()).digest()[8:], "little")
+        want_signed = want_u - (1 << 64) if want_u >= (1 << 63) else want_u
+        assert got[s] == want_signed, s
+        duck_u = con.execute("select md5_number_lower(?)", [s]).fetchone()[0]
+        assert duck_u == want_u, s
+
+
+def test_simhash_md5lo_family_matches_python_reference(spark):
+    """simhash64(hash_family='md5lo') must equal a from-scratch Python
+    reference (hashlib md5, same normalize/shingle/vote semantics) — the
+    same fingerprint SQL_SIMHASH_PAIRS rebuilds in DuckDB."""
+    import hashlib
+    import re
+
+    def ref_sig(text):
+        if text is None:
+            return 0
+        w = re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+        m = max(len(w) - 3, 0) + 1
+        hs = [int.from_bytes(
+                  hashlib.md5(" ".join(w[i:i + 3]).encode()).digest()[8:],
+                  "little")
+              for i in range(m)]
+        fp = 0
+        for b in range(64):
+            if 2 * sum((h >> b) & 1 for h in hs) > len(hs):
+                fp |= 1 << b
+        return fp - (1 << 64) if fp >= (1 << 63) else fp
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(40)
+    rows = docs.select(
+        "doc_id", "text",
+        TX.simhash64(F.col("text"), hash_family="md5lo").alias("sig"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["sig"] == ref_sig(r["text"]), r["doc_id"]
