@@ -9,13 +9,14 @@ Decode kernels come in two tiers:
   RGB / RGBA / palette, all five PNG filter types, CRC-verified chunks),
   baseline JPEG (ITU-T T.81 SOF0/SOF1: huffman entropy decode, restart
   markers, 4:4:4/4:2:2/4:4:0/4:2:0 sampling, vectorized numpy IDCT),
-  and RIFF/WAV PCM audio (the `wave` stdlib module).  These are genuine
-  decoders: the test fixture encodes real rasters/waveforms and the
-  features are computed from the decoded samples, roundtrip-pinned by
-  tests.
+  MJPEG video in a RIFF/AVI container (tolerant LIST walk, one JPEG per
+  '00dc' chunk), and RIFF/WAV PCM audio (the `wave` stdlib module).
+  These are genuine decoders: the test fixture encodes real
+  rasters/clips/waveforms and the features are computed from the decoded
+  samples, roundtrip-pinned by tests.
 - A deterministic STUB fallback for codecs whose libraries are not in this
-  container (TIFF/WebP via Pillow, MP3/FLAC via soundfile/librosa, video
-  frames via PyAV).  The fallback is clearly marked; on a cluster with
+  container (TIFF/WebP via Pillow, MP3/FLAC via soundfile/librosa,
+  non-MJPEG video via PyAV).  The fallback is clearly marked; on a cluster with
   those libs, extend `_decode_image` / `_decode_audio` dispatch — the
   Spark-side plumbing (schema, partitioning, mapInPandas Arrow batch shape)
   does not change.
@@ -840,6 +841,86 @@ def encode_jpeg_baseline(px: np.ndarray, quant: int | np.ndarray = 1,
     return bytes(out)
 
 
+# ---------------------------------------------------------------------------
+# AVI/MJPEG video (RIFF container + one baseline JPEG per frame)
+# ---------------------------------------------------------------------------
+
+def encode_avi_mjpeg(frames: list, fps: int = 10) -> bytes:
+    """Minimal RIFF/AVI container holding an MJPEG video stream — the
+    fixture twin of `decode_avi_mjpeg`.  Spec-shaped headers (avih,
+    strh 'vids'/'MJPG', strf BITMAPINFOHEADER) and one '00dc' chunk per
+    frame, each a baseline JPEG from `encode_jpeg_baseline` at quant=1."""
+    import struct
+
+    if not frames:
+        raise ValueError("AVI needs at least one frame")
+    h, w = frames[0].shape[:2]
+    jpegs = [encode_jpeg_baseline(f, quant=1) for f in frames]
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) & 1 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    def lst(list_type: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", list_type + data)
+
+    avih = struct.pack("<14I", 1_000_000 // fps, 0, 0, 0x10, len(jpegs),
+                       0, 1, 0, w, h, 0, 0, 0, 0)
+    strh = b"vids" + b"MJPG" + struct.pack(
+        "<IHH8I4H", 0, 0, 0, 0, 1, fps, 0, len(jpegs), 0, 0xFFFFFFFF, 0,
+        0, 0, w, h)
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", j) for j in jpegs))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_mjpeg(payload: bytes) -> tuple[int, int, list]:
+    """RIFF/AVI MJPEG → (width, height, [luma uint8 matrix per frame]).
+
+    Tolerant RIFF walk (any LIST nesting, odd-size chunk padding): every
+    '##dc'/'##db' stream chunk is decoded as a baseline JPEG via
+    `decode_jpeg`.  Non-MJPEG streams (raw DIB '##db', other codecs)
+    raise ValueError through the JPEG decoder → the decode-skip path, as
+    do empty containers and frame-size changes mid-stream."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    blobs: list[bytes] = []
+
+    def walk(data: bytes) -> None:
+        pos = 0
+        while pos + 8 <= len(data):
+            fourcc = data[pos:pos + 4]
+            size = struct.unpack_from("<I", data, pos + 4)[0]
+            body = data[pos + 8:pos + 8 + size]
+            if len(body) < size:
+                raise ValueError("truncated AVI chunk")
+            if fourcc == b"LIST":
+                walk(body[4:])
+            elif fourcc[2:4] in (b"dc", b"db"):
+                blobs.append(body)
+            pos += 8 + size + (size & 1)
+
+    walk(payload[12:])
+    if not blobs:
+        raise ValueError("AVI contains no video stream chunks")
+    dims = None
+    decoded = []
+    for blob in blobs:
+        w, h, luma = decode_jpeg(blob)
+        if dims is None:
+            dims = (w, h)
+        elif dims != (w, h):
+            raise ValueError("AVI frame dimensions vary mid-stream")
+        decoded.append(luma)
+    return dims[0], dims[1], decoded
+
+
 def encode_wav(pcm: np.ndarray, sample_rate: int) -> bytes:
     """float32 [-1, 1] mono → 16-bit PCM RIFF/WAV bytes."""
     buf = io.BytesIO()
@@ -971,12 +1052,47 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(op, schema=AUDIO_FEATURES_DDL)
 
 
+VIDEO_FRAMES_DDL = (
+    "media_id long, frame_idx int, n_frames int, width int, height int, "
+    "mean_luma double"
+)
+
+
+def extract_video_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
+    """REAL frame sampling for RIFF/AVI MJPEG payloads: mapInPandas →
+    `decode_avi_mjpeg` → one row per every_n-th frame with its decoded
+    luma mean.  Rows whose payload is not a decodable MJPEG AVI are
+    skipped (same per-row contract as the image/audio extractors);
+    `sample_video_frames` remains the decode-free fan-out shape for
+    opaque payloads whose codec libs this container lacks."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    w, h, frames = decode_avi_mjpeg(bytes(payload))
+                except _DECODE_ERRORS:
+                    continue
+                for idx in range(0, len(frames), every_n):
+                    rows.append((int(mid), idx, len(frames), w, h,
+                                 float(frames[idx].mean())))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "n_frames",
+                               "width", "height", "mean_luma"])
+
+    return df.select("media_id", "payload").mapInPandas(
+        op, schema=VIDEO_FRAMES_DDL)
+
+
 def sample_video_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
     """Frame-sampling plumbing: video blob → one row per sampled frame index.
 
-    The decode is stubbed (frame count derived from payload size — no video
-    codec libs in this container); the explode/partitioning shape — one
-    input row fanning out to many frame rows — is the real pipeline shape.
+    Decode-free by design (frame count derived from payload size): this is
+    the fan-out shape for OPAQUE video payloads; `extract_video_frames` is
+    the real decode path for MJPEG AVI.  The explode/partitioning shape —
+    one input row fanning out to many frame rows — is the real pipeline
+    shape either way.
     """
     n_frames = (F.length("payload") / 100 + 1).cast("int")
     return (
@@ -993,8 +1109,10 @@ def sample_video_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _encode_media_row(mid: int, seed: int = 3) -> tuple[str, str, bytes]:
-    """Deterministic per-(seed, id) media payload: real PGM raster for
-    images, real 16-bit WAV sine for audio, opaque bytes for video."""
+    """Deterministic per-(seed, id) media payload: real rasters for images
+    (PGM/BMP/PNG/JPEG rotation), real 16-bit WAV sine for audio, and for
+    video alternating real MJPEG AVI clips and opaque bytes (the opaque
+    rows keep the stub fan-out path exercised)."""
     kind = ("image", "audio", "video")[mid % 3]
     if kind == "image":
         w, h = 16 + (mid * 7) % 48, 16 + (mid * 13) % 48
@@ -1022,6 +1140,14 @@ def _encode_media_row(mid: int, seed: int = 3) -> tuple[str, str, bytes]:
         pcm = 0.5 * np.sin(2 * np.pi * (50.0 + mid + seed) * t)
         return kind, "audio/wav", encode_wav(pcm, sr)
     rng = np.random.default_rng([seed, mid + 7])
+    if (mid // 3) % 2 == 0:
+        # real MJPEG AVI: a short gradient+noise clip, one JPEG per frame
+        n_frames = 3 + mid % 4
+        w, h = 16 + (mid * 5) % 24, 16 + (mid * 11) % 24
+        base = rng.integers(0, 200, size=(h, w), dtype=np.uint8)
+        frames = [np.clip(base.astype(np.int32) + 8 * i, 0, 255)
+                  .astype(np.uint8) for i in range(n_frames)]
+        return kind, "video/x-msvideo", encode_avi_mjpeg(frames, fps=5)
     return kind, "application/octet-stream", rng.bytes(32 + mid % 64)
 
 

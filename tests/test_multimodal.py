@@ -473,3 +473,64 @@ def test_jpeg_flows_through_image_features(spark):
         yref = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
         assert (r.width, r.height) == (w, h)
         assert abs(r.mean_luma - yref.mean()) < 1.0
+
+
+def test_avi_mjpeg_roundtrip_and_malformed():
+    """RIFF/AVI MJPEG container codec: dims + frame count survive the
+    roundtrip, per-frame luma within the quant=1 JPEG envelope, malformed
+    containers raise ValueError (decode-skip), never struct errors."""
+    import pytest
+
+    from go_data_publisher_spark.functions.multimodal import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+
+    rng = np.random.default_rng(5)
+    frames = [
+        np.clip(rng.integers(0, 200, (20, 28)).astype(np.int32) + 8 * i,
+                0, 255).astype(np.uint8)
+        for i in range(5)
+    ]
+    w, h, got = decode_avi_mjpeg(encode_avi_mjpeg(frames, fps=5))
+    assert (w, h) == (28, 20) and len(got) == 5
+    for g, f in zip(got, frames):
+        assert np.abs(g.astype(int) - f.astype(int)).max() <= 1
+
+    with pytest.raises(ValueError, match="not an AVI"):
+        decode_avi_mjpeg(b"RIFF\x00\x00\x00\x00WAVE")
+    with pytest.raises(ValueError):
+        decode_avi_mjpeg(encode_avi_mjpeg(frames)[:40])  # truncated movi
+    with pytest.raises(ValueError, match="dimensions vary"):
+        decode_avi_mjpeg(encode_avi_mjpeg([frames[0], frames[1][:16, :16]]))
+
+
+def test_video_frames_real_decode_and_skip(spark):
+    """extract_video_frames decodes the fixture's MJPEG AVI rows (frame
+    count and dims recomputable from the fixture rule), samples every_n,
+    and silently skips the opaque video rows — per-row skip, not job
+    death."""
+    media = M.make_media_fixture(spark, n=24)
+    vids = media.where("kind = 'video'")
+    avi_ids = {r.media_id for r in
+               vids.where("mime = 'video/x-msvideo'").collect()}
+    opaque_ids = {r.media_id for r in
+                  vids.where("mime = 'application/octet-stream'").collect()}
+    assert avi_ids and opaque_ids
+
+    got = M.extract_video_frames(vids, every_n=2).collect()
+    by_mid = {}
+    for r in got:
+        by_mid.setdefault(r.media_id, []).append(r)
+    assert set(by_mid) == avi_ids  # every AVI decoded, every opaque skipped
+    for mid, rows in by_mid.items():
+        n_frames = 3 + mid % 4
+        w, h = 16 + (mid * 5) % 24, 16 + (mid * 11) % 24
+        assert all((r.width, r.height, r.n_frames) == (w, h, n_frames)
+                   for r in rows)
+        assert sorted(r.frame_idx for r in rows) == \
+            list(range(0, n_frames, 2))
+        # luma rises ~8 per frame index (the fixture's gradient rule)
+        rows = sorted(rows, key=lambda r: r.frame_idx)
+        for a, b in zip(rows, rows[1:]):
+            assert b.mean_luma > a.mean_luma
