@@ -534,3 +534,154 @@ def test_video_frames_real_decode_and_skip(spark):
         rows = sorted(rows, key=lambda r: r.frame_idx)
         for a, b in zip(rows, rows[1:]):
             assert b.mean_luma > a.mean_luma
+
+
+def test_flac_roundtrip_all_fixture_subframes():
+    """FLAC is lossless: decode(encode(pcm)) must equal the 16-bit
+    quantized samples EXACTLY for verbatim, fixed-order-2 rice, and
+    constant subframes; CRC tampering and truncation raise ValueError."""
+    import pytest
+
+    from go_data_publisher_spark.functions.multimodal import (
+        decode_flac,
+        encode_flac,
+    )
+
+    sr = 8000
+    t = np.arange(3000, dtype=np.float32) / sr
+    pcm = 0.5 * np.sin(2 * np.pi * 100 * t)
+    ints = np.round(np.clip(pcm, -1, 1) * 32767.0)
+    for sf in ("verbatim", "fixed"):
+        got, got_sr = decode_flac(encode_flac(pcm, sr, subframe=sf))
+        assert got_sr == sr and len(got) == len(pcm)
+        assert np.abs(got * 32768.0 - ints).max() == 0.0, sf
+    flat = np.full(2500, 0.25, dtype=np.float32)
+    got, _ = decode_flac(encode_flac(flat, sr))
+    assert np.abs(got - np.round(0.25 * 32767) / 32768).max() == 0.0
+
+    good = bytearray(encode_flac(pcm, sr))
+    with pytest.raises(ValueError, match="not a FLAC"):
+        decode_flac(b"RIFF1234")
+    with pytest.raises(ValueError):
+        decode_flac(bytes(good[:50]))
+    tampered = bytearray(good)
+    tampered[-10] ^= 0x40
+    with pytest.raises(ValueError, match="CRC"):
+        decode_flac(bytes(tampered))
+
+
+def _flac_stream(frames_bits, sr=8000, channels=1, bps=16, total=0):
+    """Hand-assemble a FLAC stream from raw frame payload builders — lets
+    tests exercise decoder paths the fixture encoder never emits (LPC,
+    stereo decorrelation)."""
+    from go_data_publisher_spark.functions.multimodal import (
+        _flac_crc8,
+        _flac_crc16,
+        _FlacBitWriter,
+    )
+
+    w = _FlacBitWriter()
+    w.u(1, 1); w.u(0, 7); w.u(34, 24)
+    w.u(1024, 16); w.u(1024, 16); w.u(0, 24); w.u(0, 24)
+    w.u(sr, 20); w.u(channels - 1, 3); w.u(bps - 1, 5); w.u(total, 36)
+    w.u(0, 128)
+    out = b"fLaC" + bytes(w.out)
+    for fi, (ch_code, bs, body_fn) in enumerate(frames_bits):
+        fw = _FlacBitWriter()
+        fw.u(0x3FFE, 14); fw.u(0, 1); fw.u(0, 1)
+        fw.u(7, 4)           # explicit 16-bit block size
+        fw.u(0, 4)           # rate from STREAMINFO
+        fw.u(ch_code, 4)
+        fw.u(4, 3)           # 16 bps
+        fw.u(0, 1)
+        fw.u(fi, 8)          # frame number (single UTF-8 byte)
+        fw.u(bs - 1, 16)
+        fw.u(_flac_crc8(bytes(fw.out)), 8)
+        body_fn(fw)
+        fw.align()
+        fw.u(_flac_crc16(bytes(fw.out)), 16)
+        out += bytes(fw.out)
+    return out
+
+
+def test_flac_lpc_subframe_decodes():
+    """LPC subframe: the test computes the forward prediction residual
+    itself (coefs [3, -2], shift 1), writes a raw LPC subframe, and the
+    decoder must invert it back to the exact source samples."""
+    from go_data_publisher_spark.functions.multimodal import decode_flac
+
+    rng = np.random.default_rng(3)
+    s = rng.integers(-2000, 2000, size=64).astype(np.int64)
+    order, coefs, shift, prec = 2, [3, -2], 1, 5
+
+    res = [int(s[i]) - ((coefs[0] * int(s[i - 1]) + coefs[1] * int(s[i - 2])) >> shift)
+           for i in range(order, len(s))]
+
+    def body(fw):
+        fw.u(0, 1)
+        fw.u(32 + order - 1, 6)      # LPC, order 2
+        fw.u(0, 1)                   # no wasted bits
+        fw.s(int(s[0]), 16)
+        fw.s(int(s[1]), 16)
+        fw.u(prec - 1, 4)
+        fw.s(shift, 5)
+        for c in coefs:
+            fw.s(c, prec)
+        fw.u(0, 2)                   # 4-bit rice
+        fw.u(0, 4)                   # partition order 0
+        fw.u(15, 4)                  # escape → raw bits
+        fw.u(14, 5)                  # 14-bit raw residuals
+        for r in res:
+            fw.s(r, 14)
+
+    payload = _flac_stream([(0, len(s), body)], total=len(s))
+    got, sr = decode_flac(payload)
+    assert sr == 8000
+    assert np.array_equal(np.round(got * 32768.0).astype(np.int64), s)
+
+
+def test_flac_stereo_decorrelation_modes():
+    """left/side, right/side and mid/side stereo must all reconstruct the
+    same L/R pair (decoded mono = channel mean of the known samples)."""
+    from go_data_publisher_spark.functions.multimodal import decode_flac
+
+    rng = np.random.default_rng(9)
+    left = rng.integers(-3000, 3000, size=32).astype(np.int64)
+    right = rng.integers(-3000, 3000, size=32).astype(np.int64)
+    want = (left + right) / 2.0 / 32768.0
+
+    def verbatim(vals, bits):
+        def body_part(fw):
+            fw.u(0, 1); fw.u(1, 6); fw.u(0, 1)
+            for v in vals:
+                fw.s(int(v), bits)
+        return body_part
+
+    side = left - right
+    mid = (left + right) >> 1
+    cases = {
+        8: [(left, 16), (side, 17)],          # left/side
+        9: [(side, 17), (right, 16)],         # right/side
+        10: [(mid, 16), (side, 17)],          # mid/side
+    }
+    for ch_code, subs in cases.items():
+        def body(fw, subs=subs):
+            for vals, bits in subs:
+                verbatim(vals, bits)(fw)
+        payload = _flac_stream([(ch_code, 32, body)], channels=2, total=32)
+        got, _ = decode_flac(payload)
+        assert np.abs(got - want).max() < 1e-9, ch_code
+
+
+def test_flac_flows_through_audio_features(spark):
+    """The fixture's FLAC rows decode through the mapInPandas extractor
+    with the same sine statistics as the WAV rows."""
+    media = M.make_media_fixture(spark, n=24)
+    flacs = media.where("mime = 'audio/flac'")
+    n_flac = flacs.count()
+    assert n_flac > 0
+    feats = M.extract_audio_features(flacs).collect()
+    assert len(feats) == n_flac
+    for r in feats:
+        assert r.sample_rate == 8000
+        assert 0.30 < r.rms < 0.40
