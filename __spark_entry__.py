@@ -922,7 +922,9 @@ def q_minhash_pairs_docs(spark, sf_dir):
 # word-3-shingle set (one truncated shingle for docs shorter than 3 words —
 # sequence(0, greatest(n-3, 0)) semantics), exact set Jaccard.  DuckDB list
 # slices are 1-based inclusive, so w[i : i+2] is the 3-word window starting
-# at i.
+# at i.  Parity caveat (latent, fixtures are pure ASCII): Spark lower() is
+# Java full case mapping, DuckDB's is utf8proc simple mapping — exotic case
+# points (e.g. U+0130) would normalize differently in the two engines.
 SQL_MINHASH_PAIRS = r"""
   WITH n AS (
     SELECT doc_id,
@@ -979,20 +981,22 @@ def q_simhash_pairs_docs(spark, sf_dir):
 # semantics, duplicates KEPT (the vote weighs each occurrence) — same
 # md5-lower-64 shingle hash, same strict-majority vote (bit set iff
 # 2·ones > n_shingles, ties → 0), then exact all-pairs hamming ≤ 6.
-# NULL text → empty shingle array → signature 0 (the UNION ALL branch).
+# NULL text ≡ '' (verified against Spark: split(normalize(NULL)) still
+# yields one '' shingle through concat_ws, so the NULL signature equals
+# the empty-string signature — hence coalesce, NOT a signature-0 branch).
+# Parity caveat (latent, fixtures are pure ASCII): Spark lower() uses
+# Java full case mapping, DuckDB utf8proc simple mapping — exotic case
+# points (e.g. U+0130) would normalize differently in the two engines.
 SQL_SIMHASH_PAIRS = r"""
   WITH n AS (
     SELECT doc_id,
-           CASE WHEN text IS NULL THEN NULL
-                ELSE string_split(
-                       trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
-                       ' ')
-           END AS w
+           string_split(
+             trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')),
+             ' ') AS w
     FROM documents
   ), sh AS (
     SELECT doc_id, md5_number_lower(array_to_string(w[i : i+2], ' ')) AS h
     FROM n, UNNEST(range(1, greatest(len(w)-2, 1) + 1)) AS t(i)
-    WHERE w IS NOT NULL
   ), bits AS (
     SELECT doc_id, b.bit,
            CASE WHEN 2 * sum(((h >> b.bit) & 1)::BIGINT)::BIGINT > count(*)
@@ -1002,8 +1006,6 @@ SQL_SIMHASH_PAIRS = r"""
   ), fp AS (
     SELECT doc_id, sum(set_bit::UBIGINT * (1::UBIGINT << bit))::UBIGINT AS f
     FROM bits GROUP BY doc_id
-    UNION ALL
-    SELECT doc_id, 0::UBIGINT FROM n WHERE w IS NULL
   )
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          bit_count(xor(a.f, b.f))::INTEGER AS hamming

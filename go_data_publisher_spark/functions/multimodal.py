@@ -640,11 +640,14 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
     return w_img, h_img, np.clip(np.round(luma), 0, 255).astype(np.uint8)
 
 
-class _JpegBitWriter:
-    """MSB-first bit writer with T.81 byte stuffing (FF → FF 00)."""
+class _BitWriter:
+    """MSB-first bit writer shared by the fixture encoders.  ``stuff_ff``
+    enables T.81 byte stuffing (FF → FF 00) for JPEG entropy segments;
+    FLAC writes raw bytes."""
 
-    def __init__(self):
+    def __init__(self, stuff_ff: bool = False):
         self.out = bytearray()
+        self._stuff = stuff_ff
         self._acc = 0
         self._n = 0
 
@@ -654,15 +657,27 @@ class _JpegBitWriter:
             self._n += 1
             if self._n == 8:
                 self.out.append(self._acc)
-                if self._acc == 0xFF:
+                if self._stuff and self._acc == 0xFF:
                     self.out.append(0x00)
                 self._acc = 0
                 self._n = 0
 
-    def flush(self):
+    u = write
+
+    def s(self, value: int, nbits: int):
+        self.write(value & ((1 << nbits) - 1), nbits)
+
+    def pad(self, fill: int = 0):
+        """Pad to a byte boundary (JPEG pads with 1-bits, FLAC with 0s)."""
         if self._n:
-            pad = 8 - self._n
-            self.write((1 << pad) - 1, pad)   # pad with 1-bits
+            n = 8 - self._n
+            self.write(((1 << n) - 1) if fill else 0, n)
+
+    align = pad
+
+
+def _JpegBitWriter():
+    return _BitWriter(stuff_ff=True)
 
 
 def _jpeg_cat(v: int) -> int:
@@ -837,7 +852,7 @@ def encode_jpeg_baseline(px: np.ndarray, quant: int | np.ndarray = 1,
             w.write(code, ln)
             if nbits:
                 w.write(amp, nbits)
-        w.flush()
+        w.pad(fill=1)   # T.81: trailing bits pad with 1s
         out += w.out
     out += b"\xff\xd9"
     return bytes(out)
@@ -893,8 +908,15 @@ def decode_avi_mjpeg(payload: bytes) -> tuple[int, int, list]:
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not an AVI payload")
     blobs: list[bytes] = []
-
-    def walk(data: bytes) -> None:
+    # iterative LIST walk — a crafted deeply-nested payload must raise
+    # ValueError (decode-skip), never RecursionError (job death)
+    stack: list[bytes] = [payload[12:]]
+    lists_seen = 0
+    while stack:
+        data = stack.pop()
+        lists_seen += 1
+        if lists_seen > 4096:   # decode-skip a pathological container
+            raise ValueError("AVI has too many LIST chunks")
         pos = 0
         while pos + 8 <= len(data):
             fourcc = data[pos:pos + 4]
@@ -903,12 +925,10 @@ def decode_avi_mjpeg(payload: bytes) -> tuple[int, int, list]:
             if len(body) < size:
                 raise ValueError("truncated AVI chunk")
             if fourcc == b"LIST":
-                walk(body[4:])
+                stack.append(body[4:])
             elif fourcc[2:4] in (b"dc", b"db"):
                 blobs.append(body)
             pos += 8 + size + (size & 1)
-
-    walk(payload[12:])
     if not blobs:
         raise ValueError("AVI contains no video stream chunks")
     dims = None
@@ -1196,23 +1216,33 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
         header = payload[frame_start:bits.byte_pos]
         if bits.u(8) != _flac_crc8(header):
             raise ValueError("FLAC frame header CRC-8 mismatch")
-        if ch_code <= 7:
-            n_ch = ch_code + 1
-            subs = [_flac_subframe(bits, block_size, bps) for _ in range(n_ch)]
-        elif ch_code in (8, 9, 10):
-            # stereo decorrelation: the side channel carries one extra bit
-            a = _flac_subframe(bits, block_size, bps + (1 if ch_code == 9 else 0))
-            b = _flac_subframe(bits, block_size, bps + (1 if ch_code != 9 else 0))
-            if ch_code == 8:            # left/side
-                subs = [a, a - b]
-            elif ch_code == 9:          # right/side (side first)
-                subs = [b + a, b]
-            else:                       # mid/side
-                mid = (a << 1) | (b & 1)
-                subs = [(mid + b) >> 1, (mid - b) >> 1]
-            n_ch = 2
-        else:
-            raise ValueError(f"reserved FLAC channel assignment {ch_code}")
+        try:
+            if ch_code <= 7:
+                n_ch = ch_code + 1
+                subs = [_flac_subframe(bits, block_size, bps)
+                        for _ in range(n_ch)]
+            elif ch_code in (8, 9, 10):
+                # stereo decorrelation: the side channel carries an extra bit
+                a = _flac_subframe(bits, block_size,
+                                   bps + (1 if ch_code == 9 else 0))
+                b = _flac_subframe(bits, block_size,
+                                   bps + (1 if ch_code != 9 else 0))
+                if ch_code == 8:        # left/side
+                    subs = [a, a - b]
+                elif ch_code == 9:      # right/side (side first)
+                    subs = [b + a, b]
+                else:                   # mid/side
+                    mid = (a << 1) | (b & 1)
+                    subs = [(mid + b) >> 1, (mid - b) >> 1]
+                n_ch = 2
+            else:
+                raise ValueError(
+                    f"reserved FLAC channel assignment {ch_code}")
+        except OverflowError as exc:
+            # a corrupt LPC/FIXED frame can run the predictor past int64
+            # BEFORE the CRC check catches the corruption; that must stay
+            # a decode-skip (ValueError), never kill the mapInPandas job
+            raise ValueError(f"FLAC predictor overflow: {exc}") from exc
         bits.align()
         body = payload[frame_start:bits.byte_pos]
         if bits.u(16) != _flac_crc16(body):
@@ -1227,29 +1257,8 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
     return (mono / float(1 << (si_bps - 1))).astype(np.float32), rate
 
 
-class _FlacBitWriter:
-    """MSB-first bit writer for the fixture encoder."""
-
-    def __init__(self):
-        self.out = bytearray()
-        self._acc = 0
-        self._n = 0
-
-    def u(self, value: int, nbits: int):
-        for i in range(nbits - 1, -1, -1):
-            self._acc = (self._acc << 1) | ((value >> i) & 1)
-            self._n += 1
-            if self._n == 8:
-                self.out.append(self._acc)
-                self._acc = 0
-                self._n = 0
-
-    def s(self, value: int, nbits: int):
-        self.u(value & ((1 << nbits) - 1), nbits)
-
-    def align(self):
-        if self._n:
-            self.u(0, 8 - self._n)
+def _FlacBitWriter():
+    return _BitWriter(stuff_ff=False)
 
 
 def encode_flac(pcm: np.ndarray, sample_rate: int, block_size: int = 1024,

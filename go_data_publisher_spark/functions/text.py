@@ -159,13 +159,11 @@ def _fingerprint64_impl(text: pd.Series) -> pd.Series:
     return pd.Series(out.astype(np.int64))
 
 
-def md5lo64(col: Column) -> Column:
-    """Lower 64 bits of md5 as a signed long: the last 8 digest bytes read
-    little-endian — bit-identical to DuckDB's ``md5_number_lower()``, which
-    is what makes an md5-family SimHash SQL-oracle-able.  Pure Catalyst:
-    md5 hex → 8 × (conv(hex pair) << 8j) OR-folded; byte 15 shifted into the
-    sign bit wraps exactly like the uint64 → int64 reinterpretation."""
-    hx = F.md5(col)
+def _md5lo64_from_hex(hx: Column) -> Column:
+    """Fold an md5 hex column into its lower-64-bit signed long (last 8
+    digest bytes, little-endian).  ``hx`` must already be an md5 hex
+    string — keep the md5 call OUTSIDE so it is evaluated once, not once
+    per byte extract (Catalyst does not CSE inside lambda bodies)."""
     val = None
     for j in range(8):
         byte = F.conv(F.substring(hx, 17 + 2 * j, 2), 16, 10).cast("long")
@@ -174,28 +172,41 @@ def md5lo64(col: Column) -> Column:
     return val
 
 
+def md5lo64(col: Column) -> Column:
+    """Lower 64 bits of md5 as a signed long: the last 8 digest bytes read
+    little-endian — bit-identical to DuckDB's ``md5_number_lower()``, which
+    is what makes an md5-family SimHash SQL-oracle-able.  Pure Catalyst:
+    md5 hex → 8 × (conv(hex pair) << 8j) OR-folded; byte 15 shifted into the
+    sign bit wraps exactly like the uint64 → int64 reinterpretation."""
+    return _md5lo64_from_hex(F.md5(col))
+
+
 # hash families available to the simhash builders.  xxhash64 is the hot-path
 # default (one native JVM call per shingle); md5lo trades ~8 byte-extracts
 # per shingle for a hash DuckDB can reproduce (md5_number_lower), which turns
 # the simhash contract entry from rows-only into a full value-hash oracle.
-_SHINGLE_HASHERS = {
-    "xxhash64": F.xxhash64,
-    "md5lo": md5lo64,
-}
+_SHINGLE_HASHERS = {"xxhash64", "md5lo"}
 
 
 def _shingle_hashes(text: Column, shingle_size: int,
                     hash_family: str = "xxhash64") -> Column:
     """Word-shingle 64-bit-hash array (JVM-side — the hash family must be
     identical in both simhash implementations)."""
-    hasher = _SHINGLE_HASHERS[hash_family]
+    if hash_family not in _SHINGLE_HASHERS:
+        raise ValueError(f"unknown shingle hash family {hash_family!r}")
     words = F.split(normalize_text(text), " ")
     n = F.size(words)
     idx = F.sequence(F.lit(0), F.greatest(n - shingle_size, F.lit(0)))
     shingles = F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, shingle_size))
     )
-    return F.transform(shingles, lambda s: hasher(s))
+    if hash_family == "xxhash64":
+        return F.transform(shingles, lambda s: F.xxhash64(s))
+    # two-level transform: materialize each shingle's md5 hex once, then
+    # fold the 8 byte extracts over that array element — one md5 per
+    # shingle instead of 8 (no CSE inside higher-order-function lambdas)
+    hexes = F.transform(shingles, lambda s: F.md5(s))
+    return F.transform(hexes, _md5lo64_from_hex)
 
 
 @functools.lru_cache(maxsize=None)

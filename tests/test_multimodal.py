@@ -685,3 +685,50 @@ def test_flac_flows_through_audio_features(spark):
     for r in feats:
         assert r.sample_rate == 8000
         assert 0.30 < r.rms < 0.40
+
+
+def test_flac_predictor_overflow_is_valueerror():
+    """A crafted LPC frame whose predictor blows past int64 must raise
+    ValueError (decode-skip), not OverflowError (which would escape
+    _DECODE_ERRORS and kill the mapInPandas job)."""
+    import pytest
+
+    from go_data_publisher_spark.functions.multimodal import decode_flac
+
+    bs = 64
+
+    def body(fw):
+        fw.u(0, 1)
+        fw.u(32 + 0, 6)          # LPC order 1
+        fw.u(0, 1)
+        fw.s(20000, 16)          # warmup
+        fw.u(14, 4)              # precision 15
+        fw.s(0, 5)               # shift 0
+        fw.s(16000, 15)          # coef 16000 → geometric blowup
+        fw.u(0, 2)
+        fw.u(0, 4)
+        fw.u(15, 4)              # escape → raw residuals
+        fw.u(1, 5)               # 1-bit residuals
+        for _ in range(bs - 1):
+            fw.s(0, 1)
+
+    payload = _flac_stream([(0, bs, body)], total=bs)
+    with pytest.raises(ValueError, match="predictor overflow"):
+        decode_flac(payload)
+
+
+def test_avi_nested_lists_are_valueerror_not_recursion():
+    """Thousands of nested LIST chunks must raise ValueError (decode-skip),
+    not RecursionError."""
+    import struct
+
+    import pytest
+
+    from go_data_publisher_spark.functions.multimodal import decode_avi_mjpeg
+
+    inner = b""
+    for _ in range(5000):
+        inner = b"LIST" + struct.pack("<I", len(inner) + 4) + b"xxxx" + inner
+    payload = b"RIFF" + struct.pack("<I", len(inner) + 4) + b"AVI " + inner
+    with pytest.raises(ValueError, match="LIST chunks|no video"):
+        decode_avi_mjpeg(payload)

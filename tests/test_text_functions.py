@@ -225,3 +225,22 @@ def test_simhash_md5lo_family_matches_python_reference(spark):
     assert rows
     for r in rows:
         assert r["sig"] == ref_sig(r["text"]), r["doc_id"]
+
+
+def test_simhash_null_text_equals_empty_text(spark):
+    """Spark's shingle pipeline gives NULL text one '' shingle (concat_ws
+    over a NULL slice), so its signature must equal the empty-string and
+    whitespace-only signatures — the invariant the simhash SQL twin's
+    coalesce(text, '') relies on."""
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   ")], "doc_id long, text string")
+    sigs = [r["s"] for r in df.orderBy("doc_id").select(
+        TX.simhash64(F.col("text"), hash_family="md5lo").alias("s")).collect()]
+    assert sigs[0] == sigs[1] == sigs[2]
+
+    # and the DuckDB twin computes the same signature for ''
+    import duckdb
+    import hashlib
+    h = int.from_bytes(hashlib.md5(b"").digest()[8:], "little")
+    want = h - (1 << 64) if h >= (1 << 63) else h
+    assert sigs[0] == want  # one ''-shingle → sig = bits of md5lo('')
