@@ -895,21 +895,20 @@ def encode_avi_mjpeg(frames: list, fps: int = 10) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def decode_avi_mjpeg(payload: bytes) -> tuple[int, int, list]:
-    """RIFF/AVI MJPEG → (width, height, [luma uint8 matrix per frame]).
+def _avi_stream_blobs(payload: bytes) -> list:
+    """RIFF/AVI walk → the raw '##dc'/'##db' stream chunks, undecoded.
 
-    Tolerant RIFF walk (any LIST nesting, odd-size chunk padding): every
-    '##dc'/'##db' stream chunk is decoded as a baseline JPEG via
-    `decode_jpeg`.  Non-MJPEG streams (raw DIB '##db', other codecs)
-    raise ValueError through the JPEG decoder → the decode-skip path, as
-    do empty containers and frame-size changes mid-stream."""
+    Separated from the JPEG decode so frame SAMPLING can skip the decode
+    of unsampled frames entirely (MJPEG frames are independent — at a
+    30fps corpus sampled every 30th frame that is a 30× decode saving).
+    Tolerant iterative LIST walk (any nesting, odd-size chunk padding) —
+    a crafted deeply-nested payload must raise ValueError (decode-skip),
+    never RecursionError (job death)."""
     import struct
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not an AVI payload")
     blobs: list[bytes] = []
-    # iterative LIST walk — a crafted deeply-nested payload must raise
-    # ValueError (decode-skip), never RecursionError (job death)
     stack: list[bytes] = [payload[12:]]
     lists_seen = 0
     while stack:
@@ -931,9 +930,19 @@ def decode_avi_mjpeg(payload: bytes) -> tuple[int, int, list]:
             pos += 8 + size + (size & 1)
     if not blobs:
         raise ValueError("AVI contains no video stream chunks")
+    return blobs
+
+
+def decode_avi_mjpeg(payload: bytes) -> tuple[int, int, list]:
+    """RIFF/AVI MJPEG → (width, height, [luma uint8 matrix per frame]).
+
+    Every stream chunk is decoded as a baseline JPEG via `decode_jpeg`.
+    Non-MJPEG streams (raw DIB '##db', other codecs) raise ValueError
+    through the JPEG decoder → the decode-skip path, as do empty
+    containers and frame-size changes mid-stream."""
     dims = None
     decoded = []
-    for blob in blobs:
+    for blob in _avi_stream_blobs(payload):
         w, h, luma = decode_jpeg(blob)
         if dims is None:
             dims = (w, h)
@@ -1457,23 +1466,28 @@ VIDEO_FRAMES_DDL = (
 
 def extract_video_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
     """REAL frame sampling for RIFF/AVI MJPEG payloads: mapInPandas →
-    `decode_avi_mjpeg` → one row per every_n-th frame with its decoded
-    luma mean.  Rows whose payload is not a decodable MJPEG AVI are
-    skipped (same per-row contract as the image/audio extractors);
-    `sample_video_frames` remains the decode-free fan-out shape for
-    opaque payloads whose codec libs this container lacks."""
+    container walk → one row per every_n-th frame with its decoded luma
+    mean.  Only the SAMPLED frames are JPEG-decoded (MJPEG frames are
+    independent; at every_n=30 that is a 30× decode saving — the part of
+    this operator that must survive a 100-TB corpus).  Rows whose payload
+    is not a decodable MJPEG AVI are skipped (same per-row contract as
+    the image/audio extractors); `sample_video_frames` remains the
+    decode-free fan-out shape for opaque payloads whose codec libs this
+    container lacks."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
-                    w, h, frames = decode_avi_mjpeg(bytes(payload))
+                    blobs = _avi_stream_blobs(bytes(payload))
+                    sampled = [(idx, decode_jpeg(blobs[idx]))
+                               for idx in range(0, len(blobs), every_n)]
                 except _DECODE_ERRORS:
                     continue
-                for idx in range(0, len(frames), every_n):
-                    rows.append((int(mid), idx, len(frames), w, h,
-                                 float(frames[idx].mean())))
+                for idx, (w, h, luma) in sampled:
+                    rows.append((int(mid), idx, len(blobs), w, h,
+                                 float(luma.mean())))
             yield pd.DataFrame(
                 rows, columns=["media_id", "frame_idx", "n_frames",
                                "width", "height", "mean_luma"])
