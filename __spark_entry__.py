@@ -1099,23 +1099,76 @@ SQL_EMB_NEAR_DUP = """
 
 
 def q_emb_ann_lsh(spark, sf_dir):
-    """ANN top-k via RHP-LSH buckets — rows-only because the result is
-    approximate BY DESIGN and measurably so on this corpus: the fixture
-    embeddings are near-isotropic (max non-self cosine ≈ 0.37), so bucket
-    recall vs brute-force top-10 is partial (measured 3/10 at sf0.01 with
-    1-probe).  That is the honest ANN trade — the brute-force twin
-    (`emb_topk`) IS oracled and is the exactness baseline, the planted
-    true near-duplicates are recovered completely by the oracled
-    `emb_near_dup` entry, and the three LSH serving paths (one-shot /
-    precomputed-bucket / IVF) are pinned equal to each other by
-    test_ann_three_path_parity_and_bucketed_fast_path.  Raising
-    multiprobe_hamming to n_planes would force recall 1 only by probing
-    every bucket — a disguised brute force, which would make an oracle
-    here vacuous."""
+    """ANN top-k via RHP-LSH buckets — ORACLED (upgraded from rows-only in
+    r5, completing the set: every `queries()` entry now has a DuckDB twin).
+
+    The result is approximate vs brute force BY DESIGN (the exactness
+    baseline is the oracled `emb_topk`), but it is a DETERMINISTIC function
+    of (corpus, query, planes, probes) — so the right oracle is not the
+    exact top-k (that would demand recall 1 and make the entry a disguised
+    brute force) but the SAME algorithm in SQL: derive the 6 hyperplanes,
+    bucket every vector by the sign pattern of its projections, probe the
+    query's bucket plus all 6 one-bit-flip neighbors (multiprobe_hamming=1),
+    exact-cosine-rank the candidates, take 10.  The twin reproduces buckets,
+    probe set, and ranking bit-for-bit, pinning the whole LSH pipeline —
+    plane derivation included — not just the final cosine math.
+
+    What made it oracle-able: hash_family='md5lo' derives plane components
+    from md5 over 'rhp_{seed}_{plane}_{dim}' (functions/text.py:md5lo64 ==
+    DuckDB md5_number_lower), masked to the low 32 bits so Spark's signed
+    long and DuckDB's UBIGINT agree before the mod.  The xxhash64 family
+    stays the hot-path default (native JVM hash, no per-dim md5) and keeps
+    its three-path-parity pytest pin
+    (test_ann_three_path_parity_and_bucketed_fast_path)."""
     emb = _t(spark, sf_dir, "embeddings")
     q = _query_vec(spark, sf_dir)
-    top = S.ann_topk_lsh(emb, q, k=10, n_planes=6, multiprobe_hamming=1)
+    top = S.ann_topk_lsh(emb, q, k=10, n_planes=6, multiprobe_hamming=1,
+                         hash_family="md5lo")
     return top.select("vec_id", (F.round("cosine", 3) + 0.0).alias("cosine_r3"))
+
+
+# SQL twin of the LSH ANN entry: same md5-derived planes ('rhp_7_{p}_{d}' →
+# md5 lower-64 → low 32 bits → mod 2e6 → [-1,1)), same sign-bit buckets,
+# same 1-bit multiprobe expansion, same exact-cosine rank of the candidate
+# set.  FP caveat: DuckDB's grouped sum() does not pin the fold order the
+# way Spark's F.aggregate does, so a projection landing within ~1e-15 of
+# zero could in principle bucket differently — irrelevant on the fixed-seed
+# fixtures (min |projection| ≫ that) and on any real corpus (measure-zero).
+SQL_EMB_ANN_LSH = """
+  WITH dim AS (
+    SELECT len(embedding) AS nd FROM embeddings WHERE vec_id = 0
+  ), planes AS (
+    SELECT p, d,
+           ((md5_number_lower('rhp_7_' || p || '_' || d) & 4294967295)
+             % 2000000) / 1000000.0 - 1.0 AS w
+    FROM (SELECT unnest(range(6)) AS p),
+         (SELECT unnest(range((SELECT nd FROM dim))) AS d)
+  ), proj AS (
+    SELECT e.vec_id, pl.p, sum(e.embedding[pl.d + 1] * pl.w) AS s
+    FROM embeddings e, planes pl
+    GROUP BY e.vec_id, pl.p
+  ), buckets AS (
+    SELECT vec_id,
+           sum(CASE WHEN s > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS b
+    FROM proj GROUP BY vec_id
+  ), probes AS (
+    SELECT (SELECT b FROM buckets WHERE vec_id = 0) AS pb
+    UNION ALL
+    SELECT xor((SELECT b FROM buckets WHERE vec_id = 0), (1::BIGINT << p))
+    FROM (SELECT unnest(range(6)) AS p)
+  )
+  SELECT vec_id, round(cosine, 3) + 0.0 AS cosine_r3
+  FROM (
+    SELECT e.vec_id,
+           list_dot_product(e.embedding, q.embedding) /
+           (sqrt(list_dot_product(e.embedding, e.embedding)) *
+            sqrt(list_dot_product(q.embedding, q.embedding))) AS cosine
+    FROM embeddings e
+    JOIN buckets bu ON e.vec_id = bu.vec_id,
+         (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    WHERE bu.b IN (SELECT pb FROM probes)
+  ) ORDER BY cosine DESC, vec_id LIMIT 10
+"""
 
 
 def q_cdc_engine_replay(spark, sf_dir):
@@ -1265,4 +1318,5 @@ def oracle_sql() -> dict[str, str]:
         "emb_near_dup": SQL_EMB_NEAR_DUP,
         "minhash_pairs_docs": SQL_MINHASH_PAIRS,
         "simhash_pairs_docs": SQL_SIMHASH_PAIRS,
+        "emb_ann_lsh": SQL_EMB_ANN_LSH,
     }

@@ -93,26 +93,50 @@ def brute_force_topk_pandas(df: DataFrame, query, k=10, id_col="vec_id",
 # LSH / IVF
 # ---------------------------------------------------------------------------
 
-def _plane_component(seed: int, plane: int, dim_idx) -> Column:
+# plane-derivation hash families.  xxhash64 is the hot-path default (one
+# native JVM call per (plane, dim)); md5lo derives the component from the
+# lower 64 bits of md5 over a deterministic key string — the same bits DuckDB
+# computes natively as md5_number_lower(), which makes an LSH contract entry
+# SQL-oracle-able end-to-end (buckets, probes, and the top-k all reproduce).
+_PLANE_FAMILIES = {"xxhash64", "md5lo"}
+
+
+def _plane_component(seed: int, plane: int, dim_idx,
+                     hash_family: str = "xxhash64") -> Column:
     """Deterministic pseudo-random hyperplane component in [-1, 1) for
     (plane, dim index) — the ONE place the plane derivation lives, so corpus
     and query buckets can never drift apart.  ``dim_idx`` may be a Column
     (inside a higher-order function) or a Python int."""
+    if hash_family not in _PLANE_FAMILIES:
+        raise ValueError(f"unknown plane hash family {hash_family!r}")
     idx = dim_idx if isinstance(dim_idx, Column) else F.lit(dim_idx)
-    h = F.xxhash64(F.lit(seed), F.lit(plane), idx)
+    if hash_family == "xxhash64":
+        h = F.xxhash64(F.lit(seed), F.lit(plane), idx)
+    else:
+        from go_data_publisher_spark.functions.text import md5lo64
+        # mask to the low 32 bits BEFORE the mod: the masked value is
+        # non-negative in both engines, so Spark's signed long and DuckDB's
+        # UBIGINT agree (a direct mod would differ whenever the signed
+        # reinterpretation goes negative, since 2^64 % 2e6 != 0)
+        h = md5lo64(
+            F.concat_ws("_", F.lit("rhp"), F.lit(seed), F.lit(plane),
+                        idx.cast("string"))
+        ).bitwiseAND(F.lit(0xFFFFFFFF))
     return (F.pmod(h, F.lit(2_000_000)).cast("double") / 1_000_000.0) - 1.0
 
 
-def rhp_bucket(vec: Column, n_planes: int, seed: int = 7) -> Column:
+def rhp_bucket(vec: Column, n_planes: int, seed: int = 7,
+               hash_family: str = "xxhash64") -> Column:
     """Random-hyperplane LSH bucket id: sign-bit pattern of <vec, plane_i>.
 
-    Planes are derived from xxhash64(seed, plane, dim_index) so every
+    Planes are derived from hash(seed, plane, dim_index) so every
     executor computes identical planes with no broadcast state.
     """
     # dot product with plane i, expressed positionally over the array
     def dot_plane(i: int) -> Column:
         idx = F.sequence(F.lit(0), F.size(vec) - 1)
-        terms = F.zip_with(vec, idx, lambda x, j: x * _plane_component(seed, i, j))
+        terms = F.zip_with(
+            vec, idx, lambda x, j: x * _plane_component(seed, i, j, hash_family))
         return F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
 
     bucket = F.lit(0).cast("long")
@@ -155,11 +179,14 @@ def rhp_band_codes(vec: Column, n_bands: int, n_planes: int, seed: int = 7) -> C
     return _rhp_band_codes_udf(n_bands, n_planes, seed)(vec)
 
 
-def _query_bucket(spark, query: Sequence[float], n_planes: int, seed: int) -> int:
+def _query_bucket(spark, query: Sequence[float], n_planes: int, seed: int,
+                  hash_family: str = "xxhash64") -> int:
     """Compute the query vector's bucket via a 1-row Spark job (keeps the
     plane derivation in one place — no Python reimplementation to drift)."""
     q = spark.createDataFrame([([float(x) for x in query],)], "vec array<double>")
-    return q.select(rhp_bucket(F.col("vec"), n_planes, seed).alias("b")).first()["b"]
+    return q.select(
+        rhp_bucket(F.col("vec"), n_planes, seed, hash_family).alias("b")
+    ).first()["b"]
 
 
 def _probe_buckets(qb: int, n_planes: int, multiprobe_hamming: int) -> list[int]:
@@ -182,17 +209,20 @@ def _probe_buckets(qb: int, n_planes: int, multiprobe_hamming: int) -> list[int]
 
 
 def bucketize(df: DataFrame, n_planes: int = 8, seed: int = 7,
-              vec_col: str = "embedding", bucket_col: str = "bucket") -> DataFrame:
+              vec_col: str = "embedding", bucket_col: str = "bucket",
+              hash_family: str = "xxhash64") -> DataFrame:
     """Precompute the RHP bucket column once.  Persist/cache the result (or
     write it with `write_ivf_index` for file-level pruning) and pass
     ``bucket_col`` to `ann_topk_lsh` so repeated queries pay a column filter,
     not a full re-hash of every corpus vector."""
-    return df.withColumn(bucket_col, rhp_bucket(F.col(vec_col), n_planes, seed))
+    return df.withColumn(
+        bucket_col, rhp_bucket(F.col(vec_col), n_planes, seed, hash_family))
 
 
 def ann_topk_lsh(df: DataFrame, query: Sequence[float], k: int = 10, n_planes: int = 8,
                  seed: int = 7, id_col: str = "vec_id", vec_col: str = "embedding",
-                 multiprobe_hamming: int = 1, bucket_col: str | None = None) -> DataFrame:
+                 multiprobe_hamming: int = 1, bucket_col: str | None = None,
+                 hash_family: str = "xxhash64") -> DataFrame:
     """ANN top-k via RHP-LSH bucket probing.
 
     Index-free ONE-SHOT form (``bucket_col=None``): recomputes every corpus
@@ -211,7 +241,7 @@ def ann_topk_lsh(df: DataFrame, query: Sequence[float], k: int = 10, n_planes: i
     they return identical results for identical parameters.
     """
     spark = df.sparkSession
-    qb = _query_bucket(spark, query, n_planes, seed)
+    qb = _query_bucket(spark, query, n_planes, seed, hash_family)
     probes = _probe_buckets(qb, n_planes, multiprobe_hamming)
     if bucket_col is not None:
         if bucket_col not in df.columns:
@@ -221,18 +251,20 @@ def ann_topk_lsh(df: DataFrame, query: Sequence[float], k: int = 10, n_planes: i
             )
         cand = df.where(F.col(bucket_col).isin(probes))
     else:
-        cand = df.withColumn("__bucket", rhp_bucket(F.col(vec_col), n_planes, seed)) \
-                 .where(F.col("__bucket").isin(probes))
+        cand = df.withColumn(
+            "__bucket", rhp_bucket(F.col(vec_col), n_planes, seed, hash_family)
+        ).where(F.col("__bucket").isin(probes))
     return brute_force_topk(cand, query, k=k, id_col=id_col, vec_col=vec_col)
 
 
 def write_ivf_index(df: DataFrame, path: str, n_planes: int = 8, seed: int = 7,
-                    vec_col: str = "embedding") -> None:
+                    vec_col: str = "embedding",
+                    hash_family: str = "xxhash64") -> None:
     """Materialize the corpus partitioned by LSH bucket — the IVF layout.
     Queries against this layout get partition pruning: only probed buckets'
     files are read."""
     (
-        df.withColumn("bucket", rhp_bucket(F.col(vec_col), n_planes, seed))
+        df.withColumn("bucket", rhp_bucket(F.col(vec_col), n_planes, seed, hash_family))
         .repartition("bucket")
         .write.mode("overwrite")
         .partitionBy("bucket")
@@ -242,8 +274,9 @@ def write_ivf_index(df: DataFrame, path: str, n_planes: int = 8, seed: int = 7,
 
 def ann_topk_ivf(spark, index_path: str, query: Sequence[float], k: int = 10,
                  n_planes: int = 8, seed: int = 7, id_col: str = "vec_id",
-                 vec_col: str = "embedding", multiprobe_hamming: int = 1) -> DataFrame:
-    qb = _query_bucket(spark, query, n_planes, seed)
+                 vec_col: str = "embedding", multiprobe_hamming: int = 1,
+                 hash_family: str = "xxhash64") -> DataFrame:
+    qb = _query_bucket(spark, query, n_planes, seed, hash_family)
     probes = _probe_buckets(qb, n_planes, multiprobe_hamming)
     df = spark.read.parquet(index_path).where(F.col("bucket").isin(probes))
     return brute_force_topk(df, query, k=k, id_col=id_col, vec_col=vec_col)

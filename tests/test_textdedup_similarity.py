@@ -270,3 +270,53 @@ def test_ann_three_path_parity_and_bucketed_fast_path(spark, vectors, tmpdir_pat
     import pytest
     with pytest.raises(ValueError, match="bucketize"):
         S.ann_topk_lsh(vectors, q, k=5, n_planes=4, bucket_col="missing")
+
+
+def test_ann_md5lo_plane_family(spark, vectors, tmpdir_path):
+    """The md5lo plane family (the SQL-oracle-able one): components must
+    equal a from-scratch Python md5 reference, the three serving paths must
+    agree under it, and an unknown family must raise (a typo silently
+    falling back to xxhash64 would desync the entry from its DuckDB twin)."""
+    import hashlib
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    # brute-force reference for the plane component, built from the md5 spec
+    # (last 8 digest bytes little-endian == DuckDB md5_number_lower)
+    def ref_component(seed, plane, d):
+        key = f"rhp_{seed}_{plane}_{d}".encode()
+        lo64 = int.from_bytes(hashlib.md5(key).digest()[8:], "little")
+        return ((lo64 & 0xFFFFFFFF) % 2_000_000) / 1_000_000.0 - 1.0
+
+    got = (
+        spark.range(1)
+        .select(*[
+            S._plane_component(7, p, d, "md5lo").alias(f"c_{p}_{d}")
+            for p in range(3) for d in range(4)
+        ])
+        .first()
+    )
+    for p in range(3):
+        for d in range(4):
+            assert got[f"c_{p}_{d}"] == pytest.approx(ref_component(7, p, d), abs=0), \
+                f"plane component ({p},{d}) diverges from the md5 spec"
+
+    # three-path parity holds under the md5lo family too
+    q = vectors.where("vec_id = 0").first()["embedding"]
+    one_shot = S.ann_topk_lsh(vectors, q, k=5, n_planes=4,
+                              multiprobe_hamming=1, hash_family="md5lo").collect()
+    S.bucketize(vectors, n_planes=4, hash_family="md5lo") \
+        .write.mode("overwrite").parquet(f"{tmpdir_path}/prepared_md5")
+    prepared = spark.read.parquet(f"{tmpdir_path}/prepared_md5")
+    bucketed = S.ann_topk_lsh(prepared, q, k=5, n_planes=4, multiprobe_hamming=1,
+                              bucket_col="bucket", hash_family="md5lo").collect()
+    S.write_ivf_index(vectors, f"{tmpdir_path}/ivf_md5", n_planes=4,
+                      hash_family="md5lo")
+    ivf = S.ann_topk_ivf(spark, f"{tmpdir_path}/ivf_md5", q, k=5, n_planes=4,
+                         multiprobe_hamming=1, hash_family="md5lo").collect()
+    assert [r.vec_id for r in one_shot] == [r.vec_id for r in bucketed] \
+        == [r.vec_id for r in ivf]
+
+    with pytest.raises(ValueError, match="plane hash family"):
+        S.ann_topk_lsh(vectors, q, k=5, n_planes=4, hash_family="sha1")
