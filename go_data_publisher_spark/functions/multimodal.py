@@ -895,6 +895,51 @@ def encode_avi_mjpeg(frames: list, fps: int = 10) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def _jpeg_dims(payload: bytes) -> tuple[int, int]:
+    """Header-only baseline-JPEG probe: walk the marker stream to SOF0/SOF1
+    and return (width, height) without entropy-decoding anything.  Raises
+    ValueError on non-JPEG payloads and on the frame modes `decode_jpeg`
+    rejects (progressive/arithmetic/lossless) — the cheap per-frame validity
+    check frame SAMPLING runs on the frames it does NOT fully decode."""
+    import struct
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos, end = 2, len(payload)
+    while pos + 2 <= end:
+        if payload[pos] != 0xFF:
+            raise ValueError("lost JPEG marker sync")
+        marker = payload[pos + 1]
+        if marker == 0xFF:      # fill byte before a marker
+            pos += 1
+            continue
+        pos += 2
+        if marker == 0xD9:      # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue            # standalone markers
+        if pos + 2 > end:
+            raise ValueError("truncated JPEG segment header")
+        seglen = struct.unpack_from(">H", payload, pos)[0]
+        if seglen < 2 or pos + seglen > end:
+            raise ValueError("truncated JPEG segment")
+        if marker in (0xC0, 0xC1):      # SOF0 / SOF1
+            if seglen < 2 + 5:
+                raise ValueError("malformed JPEG SOF")
+            _prec, h_img, w_img = struct.unpack_from(">BHH", payload, pos + 2)
+            if h_img <= 0 or w_img <= 0:
+                raise ValueError("malformed JPEG SOF")
+            return w_img, h_img
+        if marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                      0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "unsupported JPEG mode (progressive/arithmetic/lossless)")
+        if marker == 0xDA:      # SOS before any SOF
+            raise ValueError("JPEG SOS before SOF")
+        pos += seglen
+    raise ValueError("JPEG has no SOF marker")
+
+
 def _avi_stream_blobs(payload: bytes) -> list:
     """RIFF/AVI walk → the raw '##dc'/'##db' stream chunks, undecoded.
 
@@ -1467,13 +1512,20 @@ VIDEO_FRAMES_DDL = (
 def extract_video_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
     """REAL frame sampling for RIFF/AVI MJPEG payloads: mapInPandas →
     container walk → one row per every_n-th frame with its decoded luma
-    mean.  Only the SAMPLED frames are JPEG-decoded (MJPEG frames are
-    independent; at every_n=30 that is a 30× decode saving — the part of
-    this operator that must survive a 100-TB corpus).  Rows whose payload
-    is not a decodable MJPEG AVI are skipped (same per-row contract as
-    the image/audio extractors); `sample_video_frames` remains the
-    decode-free fan-out shape for opaque payloads whose codec libs this
-    container lacks."""
+    mean.  Only the SAMPLED frames are fully JPEG-decoded (MJPEG frames are
+    independent; at every_n=30 that is a 30× entropy-decode saving — the
+    part of this operator that must survive a 100-TB corpus); every OTHER
+    frame still gets the header-only `_jpeg_dims` probe, so the per-row
+    contract matches `decode_avi_mjpeg`: a non-JPEG chunk anywhere (e.g. a
+    raw-DIB '00db' stream) or dimensions varying mid-stream skip the whole
+    row instead of silently emitting a partial/inconsistent media.
+    `sample_video_frames` remains the decode-free fan-out shape for opaque
+    payloads whose codec libs this container lacks."""
+    if every_n < 1:
+        # validate HERE, not per-row: inside the decode loop range()'s
+        # ValueError would be swallowed by the skip-path and silently drop
+        # every row of the corpus
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1481,6 +1533,8 @@ def extract_video_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
                     blobs = _avi_stream_blobs(bytes(payload))
+                    if len({_jpeg_dims(b) for b in blobs}) != 1:
+                        raise ValueError("AVI frame dimensions vary mid-stream")
                     sampled = [(idx, decode_jpeg(blobs[idx]))
                                for idx in range(0, len(blobs), every_n)]
                 except _DECODE_ERRORS:

@@ -101,28 +101,40 @@ def brute_force_topk_pandas(df: DataFrame, query, k=10, id_col="vec_id",
 _PLANE_FAMILIES = {"xxhash64", "md5lo"}
 
 
+def _md5_plane_key(seed: int, plane: int, idx: Column) -> Column:
+    """The md5lo family's key string 'rhp_{seed}_{plane}_{dim}' — must stay
+    byte-identical to the SQL twin's concatenation."""
+    return F.concat_ws("_", F.lit("rhp"), F.lit(seed), F.lit(plane),
+                       idx.cast("string"))
+
+
+def _mask32_scale(h: Column) -> Column:
+    """Low-32-bit mask → mod → [-1, 1) scale shared by the scalar and array
+    md5lo paths.  Masking BEFORE the mod keeps the value non-negative in
+    both engines, so Spark's signed long and DuckDB's UBIGINT agree (a
+    direct mod would differ whenever the signed reinterpretation goes
+    negative, since 2^64 % 2e6 != 0)."""
+    return _scale_to_unit(h.bitwiseAND(F.lit(0xFFFFFFFF)))
+
+
+def _scale_to_unit(h: Column) -> Column:
+    """Non-negative hash → pseudo-random component in [-1, 1)."""
+    return (F.pmod(h, F.lit(2_000_000)).cast("double") / 1_000_000.0) - 1.0
+
+
 def _plane_component(seed: int, plane: int, dim_idx,
                      hash_family: str = "xxhash64") -> Column:
     """Deterministic pseudo-random hyperplane component in [-1, 1) for
-    (plane, dim index) — the ONE place the plane derivation lives, so corpus
-    and query buckets can never drift apart.  ``dim_idx`` may be a Column
+    (plane, dim index) — the reference form of the plane derivation (the
+    python-md5-spec pin in tests targets this).  ``dim_idx`` may be a Column
     (inside a higher-order function) or a Python int."""
     if hash_family not in _PLANE_FAMILIES:
         raise ValueError(f"unknown plane hash family {hash_family!r}")
     idx = dim_idx if isinstance(dim_idx, Column) else F.lit(dim_idx)
     if hash_family == "xxhash64":
-        h = F.xxhash64(F.lit(seed), F.lit(plane), idx)
-    else:
-        from go_data_publisher_spark.functions.text import md5lo64
-        # mask to the low 32 bits BEFORE the mod: the masked value is
-        # non-negative in both engines, so Spark's signed long and DuckDB's
-        # UBIGINT agree (a direct mod would differ whenever the signed
-        # reinterpretation goes negative, since 2^64 % 2e6 != 0)
-        h = md5lo64(
-            F.concat_ws("_", F.lit("rhp"), F.lit(seed), F.lit(plane),
-                        idx.cast("string"))
-        ).bitwiseAND(F.lit(0xFFFFFFFF))
-    return (F.pmod(h, F.lit(2_000_000)).cast("double") / 1_000_000.0) - 1.0
+        return _scale_to_unit(F.xxhash64(F.lit(seed), F.lit(plane), idx))
+    from go_data_publisher_spark.functions.text import md5lo64
+    return _mask32_scale(md5lo64(_md5_plane_key(seed, plane, idx)))
 
 
 def rhp_bucket(vec: Column, n_planes: int, seed: int = 7,
@@ -132,11 +144,28 @@ def rhp_bucket(vec: Column, n_planes: int, seed: int = 7,
     Planes are derived from hash(seed, plane, dim_index) so every
     executor computes identical planes with no broadcast state.
     """
+    if hash_family not in _PLANE_FAMILIES:
+        raise ValueError(f"unknown plane hash family {hash_family!r}")
+
+    # plane i's component array, positionally aligned with ``vec``
+    def components(i: int) -> Column:
+        idx = F.sequence(F.lit(0), F.size(vec) - 1)
+        if hash_family == "md5lo":
+            # two-level transform: materialize each key's md5 hex ONCE, then
+            # fold the 8 byte extracts over the array element — Catalyst does
+            # not CSE inside higher-order-function lambdas, so the one-level
+            # form would evaluate the md5 8× per (plane, dim) (same fix as
+            # functions/text.py:_shingle_hashes).  Values are identical to
+            # _plane_component's scalar form — _mask32_scale is shared.
+            from go_data_publisher_spark.functions.text import _md5lo64_from_hex
+            hexes = F.transform(
+                idx, lambda j: F.md5(_md5_plane_key(seed, i, j)))
+            return F.transform(hexes, lambda h: _mask32_scale(_md5lo64_from_hex(h)))
+        return F.transform(idx, lambda j: _plane_component(seed, i, j, hash_family))
+
     # dot product with plane i, expressed positionally over the array
     def dot_plane(i: int) -> Column:
-        idx = F.sequence(F.lit(0), F.size(vec) - 1)
-        terms = F.zip_with(
-            vec, idx, lambda x, j: x * _plane_component(seed, i, j, hash_family))
+        terms = F.zip_with(vec, components(i), lambda x, w: x * w)
         return F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
 
     bucket = F.lit(0).cast("long")

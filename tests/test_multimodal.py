@@ -536,6 +536,62 @@ def test_video_frames_real_decode_and_skip(spark):
             assert b.mean_luma > a.mean_luma
 
 
+def test_video_frames_validate_unsampled_frames(spark):
+    """The sampled-frames-only decode must keep decode_avi_mjpeg's per-row
+    contract: dims varying mid-stream or an undecodable chunk at an
+    UNSAMPLED index skip the whole row (header-only _jpeg_dims probe on
+    every frame) — no partial media with inconsistent dims leaks out.
+    every_n=0 must raise loudly at build time, not be swallowed by the
+    per-row skip path."""
+    import struct
+
+    import pytest
+
+    from go_data_publisher_spark.functions.multimodal import (
+        _avi_stream_blobs,
+        _jpeg_dims,
+        decode_jpeg,
+        encode_avi_mjpeg,
+        encode_jpeg_baseline,
+    )
+
+    def mk_avi(chunks):
+        body = b""
+        for cc, data in chunks:
+            body += cc + struct.pack("<I", len(data)) + data
+            if len(data) & 1:
+                body += b"\x00"
+        return b"RIFF" + struct.pack("<I", len(body) + 4) + b"AVI " + body
+
+    big = np.full((16, 16), 100, dtype=np.uint8)
+    small = np.full((8, 8), 100, dtype=np.uint8)
+    j_big = encode_jpeg_baseline(big, quant=1)
+    j_small = encode_jpeg_baseline(small, quant=1)
+
+    # the header probe agrees with the full decoder on dims
+    w, h, _ = decode_jpeg(j_big)
+    assert _jpeg_dims(j_big) == (w, h) == (16, 16)
+
+    good = encode_avi_mjpeg([big, big, big])
+    assert len(_avi_stream_blobs(good)) == 3
+    # dims change at index 1, which every_n=2 never samples
+    dims_vary = mk_avi([(b"00dc", j_big), (b"00dc", j_small), (b"00dc", j_big)])
+    # raw-DIB '00db' chunk (not a JPEG) at the unsampled index 1
+    raw_dib = mk_avi([(b"00dc", j_big), (b"00db", b"\x00" * 64), (b"00dc", j_big)])
+
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(dims_vary)), (3, bytearray(raw_dib))],
+        "media_id long, payload binary",
+    )
+    got = M.extract_video_frames(df, every_n=2).collect()
+    assert {r.media_id for r in got} == {1}, \
+        "rows with invalid unsampled frames must be skipped whole"
+    assert sorted(r.frame_idx for r in got) == [0, 2]
+
+    with pytest.raises(ValueError, match="every_n"):
+        M.extract_video_frames(df, every_n=0)
+
+
 def test_flac_roundtrip_all_fixture_subframes():
     """FLAC is lossless: decode(encode(pcm)) must equal the 16-bit
     quantized samples EXACTLY for verbatim, fixed-order-2 rice, and
