@@ -1171,14 +1171,15 @@ SQL_EMB_ANN_LSH = """
 """
 
 
-def q_cdc_engine_replay(spark, sf_dir):
-    """The full engine end-to-end: events→changelog, chunked batch replay
-    through the bucketed MERGE table, return the final snapshot."""
+def _replayed_table(spark, sf_dir, n_chunks=4):
+    """events → changelog → chunked batch replay through a fresh bucketed
+    MERGE table.  Returns the table (versions 1..n_chunks committed; version
+    0 is the empty create) — shared by the final-state and time-travel
+    entries so both exercise the identical write path."""
     import tempfile
 
     from go_data_publisher_spark.lake.table import TranscriptTable
     from go_data_publisher_spark.streaming.apply import ChangeApplier
-    from pyspark.sql import types as T
 
     log = _as_changelog(_t(spark, sf_dir, "events")).select(
         "lsn", "op", F.col("conv_id").cast("string").alias("conv_id"),
@@ -1192,12 +1193,34 @@ def q_cdc_engine_replay(spark, sf_dir):
     tbl = TranscriptTable(spark, f"{root}/tbl", n_buckets=8)
     app = ChangeApplier(tbl)
     lo, hi = log.agg(F.min("lsn"), F.max("lsn")).first()
-    n_chunks = 4
     span = (hi - lo) // n_chunks + 1
     for i in range(n_chunks):
         batch = log.where(F.col("lsn").between(lo + i * span, min(hi, lo + (i + 1) * span - 1)))
         app.apply_batch(batch, epoch_id=i)
+    return tbl
+
+
+def q_cdc_engine_replay(spark, sf_dir):
+    """The full engine end-to-end: events→changelog, chunked batch replay
+    through the bucketed MERGE table, return the final snapshot."""
+    tbl = _replayed_table(spark, sf_dir)
     return tbl.snapshot().select("conv_id", "turn_idx", "text", F.col("lsn").alias("last_lsn"))
+
+
+def q_cdc_time_travel(spark, sf_dir):
+    """Time travel through the driver gate (new in r5): after the FULL
+    4-chunk replay, read ``snapshot(version=2)`` — the committed state as of
+    chunk 1's commit, resolved from the retained manifest log (per-commit
+    file-list deltas + checkpoints), not by re-running the pipeline.  The
+    oracle replays only the first two chunks' LSN range, so the entry is
+    green iff a past version is byte-equal to the prefix replay — i.e.
+    commits are truly immutable snapshots and later merges never perturb
+    retained history.  Mirrors reference consumers re-reading an archived
+    epoch (SURVEY §2 S1/S4); `version_as_of` timestamp resolution is pinned
+    in pytest (wall-clock timestamps are not oracle-able)."""
+    tbl = _replayed_table(spark, sf_dir)
+    return tbl.snapshot(version=2).select(
+        "conv_id", "turn_idx", "text", F.col("lsn").alias("last_lsn"))
 
 
 SQL_CDC_ENGINE_REPLAY = f"""
@@ -1208,6 +1231,27 @@ SQL_CDC_ENGINE_REPLAY = f"""
         ORDER BY lsn DESC, CASE op WHEN 'D' THEN 3 WHEN 'U' THEN 2 ELSE 1 END DESC
     ) AS rn
     FROM log
+  )
+  SELECT CAST(conv_id AS VARCHAR) AS conv_id, CAST(turn_idx AS INT) AS turn_idx,
+         text, lsn AS last_lsn
+  FROM ranked WHERE rn = 1 AND op <> 'D'
+"""
+
+
+# twin of the time-travel entry: last-wins replay of ONLY the first two
+# chunks' LSN range — chunk i covers [lo + i*span, lo + (i+1)*span - 1] with
+# span = (hi - lo) // 4 + 1, so versions 1..2 hold exactly lsn < lo + 2*span.
+SQL_CDC_TIME_TRAVEL = f"""
+  WITH log AS ({_CHANGELOG_SQL}),
+  bound AS (
+    SELECT min(lsn) + 2 * ((max(lsn) - min(lsn)) // 4 + 1) AS cut FROM log
+  ),
+  ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY conv_id, turn_idx
+        ORDER BY lsn DESC, CASE op WHEN 'D' THEN 3 WHEN 'U' THEN 2 ELSE 1 END DESC
+    ) AS rn
+    FROM log WHERE lsn < (SELECT cut FROM bound)
   )
   SELECT CAST(conv_id AS VARCHAR) AS conv_id, CAST(turn_idx AS INT) AS turn_idx,
          text, lsn AS last_lsn
@@ -1228,6 +1272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_final_state": q_cdc_final_state,
         "cdc_engine_replay": q_cdc_engine_replay,
+        "cdc_time_travel": q_cdc_time_travel,
         "latest_per_group": q_latest_per_group,
         "count_per_key": q_count_per_key,
         "last_per_epoch": q_last_per_epoch,
@@ -1278,6 +1323,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "cdc_final_state": SQL_CDC_FINAL_STATE,
         "cdc_engine_replay": SQL_CDC_ENGINE_REPLAY,
+        "cdc_time_travel": SQL_CDC_TIME_TRAVEL,
         "latest_per_group": SQL_LATEST_PER_GROUP,
         "count_per_key": SQL_COUNT_PER_KEY,
         "last_per_epoch": SQL_LAST_PER_EPOCH,
