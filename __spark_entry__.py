@@ -1171,11 +1171,13 @@ SQL_EMB_ANN_LSH = """
 """
 
 
-def _replayed_table(spark, sf_dir, n_chunks=4):
+def _replayed_table(spark, sf_dir, n_chunks=4, mutate=None):
     """events → changelog → chunked batch replay through a fresh bucketed
     MERGE table.  Returns the table (versions 1..n_chunks committed; version
-    0 is the empty create) — shared by the final-state and time-travel
-    entries so both exercise the identical write path."""
+    0 is the empty create) — shared by the final-state, time-travel, and
+    schema-evolution entries so all exercise the identical write path.
+    ``mutate(batch, chunk_idx)`` lets a caller reshape individual chunks
+    (the evolution entry widens the late ones)."""
     import tempfile
 
     from go_data_publisher_spark.lake.table import TranscriptTable
@@ -1196,6 +1198,8 @@ def _replayed_table(spark, sf_dir, n_chunks=4):
     span = (hi - lo) // n_chunks + 1
     for i in range(n_chunks):
         batch = log.where(F.col("lsn").between(lo + i * span, min(hi, lo + (i + 1) * span - 1)))
+        if mutate is not None:
+            batch = mutate(batch, i)
         app.apply_batch(batch, epoch_id=i)
     return tbl
 
@@ -1238,6 +1242,55 @@ SQL_CDC_ENGINE_REPLAY = f"""
 """
 
 
+def q_cdc_schema_evolution(spark, sf_dir):
+    """Live schema evolution through the driver gate (new in r5): chunks 0-1
+    arrive with the base 8-column schema, chunks 2-3 add a ``lang`` column
+    (schema_version 2) — ChangeApplier diffs the batch schema and widens the
+    table mid-replay (lake/table.py:evolve_schema, the reference's
+    archiverv1→v2 analogue).  The final snapshot reads old file groups cast
+    up to the current schema, so a key's ``lang`` is populated iff its
+    LAST-WINS write came from an evolved chunk, NULL otherwise — exactly
+    what the oracle predicts from the winning LSN alone.  This pins the
+    whole evolution surface: the widen diff, per-file-group schema_ids in
+    the manifest, and the scan-time upcast."""
+    def widen(batch, i):
+        if i < 2:
+            return batch
+        return (batch
+                .withColumn("lang", F.concat(F.lit("l"),
+                                             (F.col("lsn") % 5).cast("string")))
+                .withColumn("schema_version", F.lit(2)))
+
+    tbl = _replayed_table(spark, sf_dir, mutate=widen)
+    return tbl.snapshot().select(
+        "conv_id", "turn_idx", "text", "lang", F.col("lsn").alias("last_lsn"))
+
+
+# twin of the evolution entry: same last-wins replay, with lang populated
+# iff the winning write's lsn falls in the evolved chunks (2-3, i.e.
+# lsn >= lo + 2*span) — old-schema winners surface lang as NULL via the
+# scan-time upcast.
+SQL_CDC_SCHEMA_EVOLUTION = f"""
+  WITH log AS ({_CHANGELOG_SQL}),
+  bound AS (
+    SELECT min(lsn) + 2 * ((max(lsn) - min(lsn)) // 4 + 1) AS cut FROM log
+  ),
+  ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY conv_id, turn_idx
+        ORDER BY lsn DESC, CASE op WHEN 'D' THEN 3 WHEN 'U' THEN 2 ELSE 1 END DESC
+    ) AS rn
+    FROM log
+  )
+  SELECT CAST(conv_id AS VARCHAR) AS conv_id, CAST(turn_idx AS INT) AS turn_idx,
+         text,
+         CASE WHEN lsn >= (SELECT cut FROM bound)
+              THEN 'l' || CAST(lsn % 5 AS VARCHAR) END AS lang,
+         lsn AS last_lsn
+  FROM ranked WHERE rn = 1 AND op <> 'D'
+"""
+
+
 # twin of the time-travel entry: last-wins replay of ONLY the first two
 # chunks' LSN range — chunk i covers [lo + i*span, lo + (i+1)*span - 1] with
 # span = (hi - lo) // 4 + 1, so versions 1..2 hold exactly lsn < lo + 2*span.
@@ -1273,6 +1326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_final_state": q_cdc_final_state,
         "cdc_engine_replay": q_cdc_engine_replay,
         "cdc_time_travel": q_cdc_time_travel,
+        "cdc_schema_evolution": q_cdc_schema_evolution,
         "latest_per_group": q_latest_per_group,
         "count_per_key": q_count_per_key,
         "last_per_epoch": q_last_per_epoch,
@@ -1324,6 +1378,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_final_state": SQL_CDC_FINAL_STATE,
         "cdc_engine_replay": SQL_CDC_ENGINE_REPLAY,
         "cdc_time_travel": SQL_CDC_TIME_TRAVEL,
+        "cdc_schema_evolution": SQL_CDC_SCHEMA_EVOLUTION,
         "latest_per_group": SQL_LATEST_PER_GROUP,
         "count_per_key": SQL_COUNT_PER_KEY,
         "last_per_epoch": SQL_LAST_PER_EPOCH,
