@@ -95,3 +95,33 @@ def test_old_files_cast_up_after_widening(spark, tmpdir_path):
     snap = tbl.snapshot()
     assert dict(snap.dtypes)["amount"] == "bigint"
     assert snap.first()["amount"] == 7
+
+
+def test_compaction_collapses_schema_groups(spark, tmpdir_path):
+    """evolve → merge → compact: the rewrite folds every old-schema file
+    group into base files at the CURRENT schema id (lake/table.py:compact
+    reads winners via snapshot(), which upcasts) — snapshot content is
+    unchanged by the fold, the manifest ends with one schema group, and a
+    pre-compact version still time-travels with the old NULL-fill."""
+    tbl = TranscriptTable(spark, f"{tmpdir_path}/tbl", n_buckets=4, schema=V1_TARGET)
+    app = ChangeApplier(tbl)
+
+    v1 = generate_changelog(spark, 800, n_convs=30, seed=41, schema_v2_from=1.1).drop("tool")
+    app.apply_batch(v1, epoch_id=0)
+    v2 = generate_changelog(spark, 1600, n_convs=30, seed=41).where("lsn > 830")
+    app.apply_batch(v2, epoch_id=1)
+    assert "tool" in [f.name for f in tbl.schema.fields]
+
+    pre_version = tbl.manifest()["version"]
+    pre = {tuple(r) for r in tbl.snapshot().collect()}
+    pre_sids = {int(f["schema_id"]) for f in tbl.manifest()["files"]}
+    assert len(pre_sids) > 1, "fixture must actually span schema groups"
+
+    tbl.compact()
+    post = {tuple(r) for r in tbl.snapshot().collect()}
+    assert post == pre, "compaction must not change visible state"
+    cur_sid = int(tbl.manifest()["current_schema_id"])
+    post_sids = {int(f["schema_id"]) for f in tbl.manifest()["files"]}
+    assert post_sids == {cur_sid}, "fold must rewrite old groups to the current schema"
+    # the retained pre-compact version still reads with its own group layout
+    assert {tuple(r) for r in tbl.snapshot(version=pre_version).collect()} == pre
