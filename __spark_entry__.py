@@ -1171,10 +1171,19 @@ SQL_EMB_ANN_LSH = """
 """
 
 
+# the replay entries and their SQL twins share these: the twins' LSN-prefix
+# arithmetic is f-stringed from the same constants the Python side chunks
+# with, so neither can drift alone
+_REPLAY_CHUNKS = 4          # chunks per replay (versions 1.._REPLAY_CHUNKS)
+_TT_PREFIX = 2              # time-travel prefix: state as of chunk _TT_PREFIX-1
+
 _REPLAY_CACHE: dict = {}
+_REPLAY_CACHE_MAX = 4       # (session, sf_dir) pairs a process realistically
+                            # cycles through; beyond that evict oldest so a
+                            # long-lived driver can't pin sessions/tmp tables
 
 
-def _replayed_table(spark, sf_dir, n_chunks=4, mutate=None):
+def _replayed_table(spark, sf_dir, n_chunks=_REPLAY_CHUNKS, mutate=None):
     """events → changelog → chunked batch replay through a fresh bucketed
     MERGE table.  Returns the table (versions 1..n_chunks committed; version
     0 is the empty create) — shared by the final-state, time-travel, and
@@ -1214,6 +1223,8 @@ def _replayed_table(spark, sf_dir, n_chunks=4, mutate=None):
             batch = mutate(batch, i)
         app.apply_batch(batch, epoch_id=i)
     if mutate is None:
+        while len(_REPLAY_CACHE) >= _REPLAY_CACHE_MAX:
+            _REPLAY_CACHE.pop(next(iter(_REPLAY_CACHE)))
         _REPLAY_CACHE[cache_key] = tbl
     return tbl
 
@@ -1227,17 +1238,22 @@ def q_cdc_engine_replay(spark, sf_dir):
 
 def q_cdc_time_travel(spark, sf_dir):
     """Time travel through the driver gate (new in r5): after the FULL
-    4-chunk replay, read ``snapshot(version=2)`` — the committed state as of
-    chunk 1's commit, resolved from the retained manifest log (per-commit
-    file-list deltas + checkpoints), not by re-running the pipeline.  The
-    oracle replays only the first two chunks' LSN range, so the entry is
-    green iff a past version is byte-equal to the prefix replay — i.e.
-    commits are truly immutable snapshots and later merges never perturb
-    retained history.  Mirrors reference consumers re-reading an archived
-    epoch (SURVEY §2 S1/S4); `version_as_of` timestamp resolution is pinned
-    in pytest (wall-clock timestamps are not oracle-able)."""
+    4-chunk replay, read the committed state as of chunk 1's commit,
+    resolved from the retained manifest log (per-commit file-list deltas +
+    checkpoints), not by re-running the pipeline.  The oracle replays only
+    the first two chunks' LSN range, so the entry is green iff a past
+    version is byte-equal to the prefix replay — i.e. commits are truly
+    immutable snapshots and later merges never perturb retained history.
+    The version is looked up by epoch watermark, not hardcoded, so metadata
+    commits (an evolve, a compaction) interleaving with the chunk commits
+    can't silently shift which state is read.  Mirrors reference consumers
+    re-reading an archived epoch (SURVEY §2 S1/S4); `version_as_of`
+    timestamp resolution is pinned in pytest (wall-clock timestamps are not
+    oracle-able)."""
     tbl = _replayed_table(spark, sf_dir)
-    return tbl.snapshot(version=2).select(
+    ver = max(h["version"] for h in tbl.history()
+              if h["epoch_hwm"] == _TT_PREFIX - 1)
+    return tbl.snapshot(version=ver).select(
         "conv_id", "turn_idx", "text", F.col("lsn").alias("last_lsn"))
 
 
@@ -1258,22 +1274,23 @@ SQL_CDC_ENGINE_REPLAY = f"""
 
 def q_cdc_schema_evolution(spark, sf_dir):
     """Live schema evolution through the driver gate (new in r5): chunks 0-1
-    arrive with the base 8-column schema, chunks 2-3 add a ``lang`` column
-    (schema_version 2) — ChangeApplier diffs the batch schema and widens the
+    arrive with the base 8-column schema, chunks 2-3 add a ``lang`` column —
+    ChangeApplier diffs the batch schema and widens the
     table mid-replay (lake/table.py:evolve_schema, the reference's
     archiverv1→v2 analogue).  The final snapshot reads old file groups cast
     up to the current schema, so a key's ``lang`` is populated iff its
     LAST-WINS write came from an evolved chunk, NULL otherwise — exactly
     what the oracle predicts from the winning LSN alone.  This pins the
     whole evolution surface: the widen diff, per-file-group schema_ids in
-    the manifest, and the scan-time upcast."""
+    the manifest, and the scan-time upcast.  (The evolution trigger is the
+    batch SCHEMA gaining the column — ChangeApplier diffs it after dropping
+    the op/schema_version envelope fields, so no version stamp is bumped
+    here.)"""
     def widen(batch, i):
-        if i < 2:
+        if i < _TT_PREFIX:
             return batch
-        return (batch
-                .withColumn("lang", F.concat(F.lit("l"),
-                                             (F.col("lsn") % 5).cast("string")))
-                .withColumn("schema_version", F.lit(2)))
+        return batch.withColumn(
+            "lang", F.concat(F.lit("l"), (F.col("lsn") % 5).cast("string")))
 
     tbl = _replayed_table(spark, sf_dir, mutate=widen)
     return tbl.snapshot().select(
@@ -1281,13 +1298,14 @@ def q_cdc_schema_evolution(spark, sf_dir):
 
 
 # twin of the evolution entry: same last-wins replay, with lang populated
-# iff the winning write's lsn falls in the evolved chunks (2-3, i.e.
-# lsn >= lo + 2*span) — old-schema winners surface lang as NULL via the
-# scan-time upcast.
+# iff the winning write's lsn falls in the evolved chunks (>= _TT_PREFIX,
+# i.e. lsn >= lo + prefix*span) — old-schema winners surface lang as NULL
+# via the scan-time upcast.  Chunk arithmetic f-stringed from the shared
+# _REPLAY_CHUNKS/_TT_PREFIX constants.
 SQL_CDC_SCHEMA_EVOLUTION = f"""
   WITH log AS ({_CHANGELOG_SQL}),
   bound AS (
-    SELECT min(lsn) + 2 * ((max(lsn) - min(lsn)) // 4 + 1) AS cut FROM log
+    SELECT min(lsn) + {_TT_PREFIX} * ((max(lsn) - min(lsn)) // {_REPLAY_CHUNKS} + 1) AS cut FROM log
   ),
   ranked AS (
     SELECT *, row_number() OVER (
@@ -1305,13 +1323,15 @@ SQL_CDC_SCHEMA_EVOLUTION = f"""
 """
 
 
-# twin of the time-travel entry: last-wins replay of ONLY the first two
-# chunks' LSN range — chunk i covers [lo + i*span, lo + (i+1)*span - 1] with
-# span = (hi - lo) // 4 + 1, so versions 1..2 hold exactly lsn < lo + 2*span.
+# twin of the time-travel entry: last-wins replay of ONLY the first
+# _TT_PREFIX chunks' LSN range — chunk i covers [lo + i*span,
+# lo + (i+1)*span - 1] with span = (hi - lo) // _REPLAY_CHUNKS + 1, so the
+# prefix holds exactly lsn < lo + _TT_PREFIX*span.  Arithmetic f-stringed
+# from the same constants the Python side chunks with.
 SQL_CDC_TIME_TRAVEL = f"""
   WITH log AS ({_CHANGELOG_SQL}),
   bound AS (
-    SELECT min(lsn) + 2 * ((max(lsn) - min(lsn)) // 4 + 1) AS cut FROM log
+    SELECT min(lsn) + {_TT_PREFIX} * ((max(lsn) - min(lsn)) // {_REPLAY_CHUNKS} + 1) AS cut FROM log
   ),
   ranked AS (
     SELECT *, row_number() OVER (
