@@ -475,10 +475,13 @@ ceilings ≈ {ceilings}).
 Since round 5 the SAME probe is also embedded in `bench.py` itself as a
 `host_control` field (good-day constant + probe time sampled immediately
 before the headline merge and after the queries + a `slowdown_factor`
-ratio), so every `BENCH_r*.json` is self-normalizing: a reader comparing
-rounds divides wall times by that factor instead of trusting the box's day
-(the round-4 merge "regression" — 290k ev/s in the driver artifact vs 540k
-in round 3 while every query got faster — was exactly such a day).
+ratio), so every `BENCH_r*.json` records its own host condition: a reader
+comparing rounds checks that factor before attributing a delta to the
+engine (the round-4 merge "regression" — 290k ev/s in the driver artifact
+vs 540k in round 3 while every query got faster — was exactly such a day).
+The factor BOUNDS rather than linearly rescales the merge — the probe is
+pure CPU while the merge has IO phases that dilute a CPU slowdown — so use
+it as a validity gate (≳1.5 means don't trust the number), not a divisor.
 The normalized column is engine speedup ÷ host ceiling: what fraction of
 the parallelism the host *can* express the engine actually captures.
 The raw-vs-normalized gap at higher thread counts is host memory-bandwidth
