@@ -1323,6 +1323,54 @@ SQL_CDC_SCHEMA_EVOLUTION = f"""
 """
 
 
+def q_cdc_changefeed(spark, sf_dir):
+    """CDC-out change data feed through the driver gate (new in r5): after
+    the full replay, read ``changes(from_version=_TT_PREFIX)`` — the raw
+    change rows (upserts AND delete tombstones, each stamped with its
+    committing version) of every commit after the prefix, served as a
+    pruned scan of exactly the window's delta files with zero snapshot
+    diffing (lake/table.py:changes — the feed ChangefeedTailer and
+    WirePublisher tail).  The oracle recomputes what each commit's delta
+    files must contain from the changelog alone: per-key in-batch last-wins
+    winners of each late chunk, op preserved, commit_version = chunk + 1.
+    Green iff the persisted feed is byte-equal to that prediction — the
+    CDF's completeness (no dropped tombstones, no leaked losers, correct
+    version stamps) in one value-hash check."""
+    tbl = _replayed_table(spark, sf_dir)
+    return tbl.changes(_TT_PREFIX).select(
+        "conv_id", "turn_idx", "text", "op",
+        F.col("lsn").alias("last_lsn"), "commit_version")
+
+
+# twin of the changefeed entry: chunk i covers LSNs [lo + i*span,
+# lo + (i+1)*span - 1] (span = (hi-lo) // _REPLAY_CHUNKS + 1, so
+# i = (lsn-lo) // span is always in 0.._REPLAY_CHUNKS-1) and commits
+# version i+1; the window (_TT_PREFIX, current] holds each late chunk's
+# per-key last-wins winners INCLUDING delete tombstones.
+SQL_CDC_CHANGEFEED = f"""
+  WITH log AS ({_CHANGELOG_SQL}),
+  b AS (
+    SELECT min(lsn) AS lo,
+           (max(lsn) - min(lsn)) // {_REPLAY_CHUNKS} + 1 AS span
+    FROM log
+  ),
+  tagged AS (
+    SELECT l.*, (l.lsn - b.lo) // b.span + 1 AS commit_version
+    FROM log l, b
+  ),
+  ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY conv_id, turn_idx, commit_version
+        ORDER BY lsn DESC, CASE op WHEN 'D' THEN 3 WHEN 'U' THEN 2 ELSE 1 END DESC
+    ) AS rn
+    FROM tagged WHERE commit_version > {_TT_PREFIX}
+  )
+  SELECT CAST(conv_id AS VARCHAR) AS conv_id, CAST(turn_idx AS INT) AS turn_idx,
+         text, op, lsn AS last_lsn, CAST(commit_version AS BIGINT) AS commit_version
+  FROM ranked WHERE rn = 1
+"""
+
+
 # twin of the time-travel entry: last-wins replay of ONLY the first
 # _TT_PREFIX chunks' LSN range — chunk i covers [lo + i*span,
 # lo + (i+1)*span - 1] with span = (hi - lo) // _REPLAY_CHUNKS + 1, so the
@@ -1361,6 +1409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_engine_replay": q_cdc_engine_replay,
         "cdc_time_travel": q_cdc_time_travel,
         "cdc_schema_evolution": q_cdc_schema_evolution,
+        "cdc_changefeed": q_cdc_changefeed,
         "latest_per_group": q_latest_per_group,
         "count_per_key": q_count_per_key,
         "last_per_epoch": q_last_per_epoch,
@@ -1413,6 +1462,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_engine_replay": SQL_CDC_ENGINE_REPLAY,
         "cdc_time_travel": SQL_CDC_TIME_TRAVEL,
         "cdc_schema_evolution": SQL_CDC_SCHEMA_EVOLUTION,
+        "cdc_changefeed": SQL_CDC_CHANGEFEED,
         "latest_per_group": SQL_LATEST_PER_GROUP,
         "count_per_key": SQL_COUNT_PER_KEY,
         "last_per_epoch": SQL_LAST_PER_EPOCH,
