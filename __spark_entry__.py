@@ -7,9 +7,11 @@ FIXTURES.md §4: user_id ↔ conv-key, event_id ↔ LSN, event_type ↔ op).
 ``oracle_sql()`` holds the DuckDB-equivalent ANSI SQL; column names and
 types are aligned pair-by-pair (ints cast to BIGINT, doubles rounded).
 
-Entries without an oracle (engine-internal state, LSH candidates whose hash
-family has no DuckDB twin) get the driver's weaker rows-only check and are
-covered by dedicated pytest oracles instead (tests/).
+Every entry in ``queries()`` has a DuckDB oracle in ``oracle_sql()`` —
+including the LSH/MinHash/SimHash families, whose hash functions were
+re-derived over md5 so DuckDB reproduces the bucketing itself
+(``md5_number_lower``).  As of round 5 the driver records 46/46 entries
+passing rows + schema + value-hash; there are no rows-only entries left.
 """
 
 from __future__ import annotations
@@ -889,7 +891,9 @@ SQL_EMB_TOPK = """
 
 
 # ---------------------------------------------------------------------------
-# engine-internal / non-SQL entries (rows-only driver check; pytest oracles)
+# approximate / engine-internal entries — all fully oracled: each SQL twin
+# below reproduces the same md5-derived hash family in DuckDB, so the driver
+# hash-checks these like any exact query (see CORRECTNESS_r05: 46/46 green)
 # ---------------------------------------------------------------------------
 
 def q_minhash_pairs_docs(spark, sf_dir):
@@ -1181,6 +1185,21 @@ _REPLAY_CACHE: dict = {}
 _REPLAY_CACHE_MAX = 4       # (session, sf_dir) pairs a process realistically
                             # cycles through; beyond that evict oldest so a
                             # long-lived driver can't pin sessions/tmp tables
+_REPLAY_TMPDIRS: list = []  # every mkdtemp root this module created (cached
+                            # or not) — reaped at process exit so a
+                            # long-lived driver doesn't leak replay tables
+
+
+def _reap_replay_tmpdirs() -> None:
+    import shutil
+
+    while _REPLAY_TMPDIRS:
+        shutil.rmtree(_REPLAY_TMPDIRS.pop(), ignore_errors=True)
+
+
+import atexit as _atexit  # noqa: E402
+
+_atexit.register(_reap_replay_tmpdirs)
 
 
 def _replayed_table(spark, sf_dir, n_chunks=_REPLAY_CHUNKS, mutate=None):
@@ -1202,7 +1221,7 @@ def _replayed_table(spark, sf_dir, n_chunks=_REPLAY_CHUNKS, mutate=None):
 
     cache_key = (spark, sf_dir, n_chunks)
     if mutate is None and cache_key in _REPLAY_CACHE:
-        return _REPLAY_CACHE[cache_key]
+        return _REPLAY_CACHE[cache_key][0]
 
     log = _as_changelog(_t(spark, sf_dir, "events")).select(
         "lsn", "op", F.col("conv_id").cast("string").alias("conv_id"),
@@ -1213,6 +1232,7 @@ def _replayed_table(spark, sf_dir, n_chunks=_REPLAY_CHUNKS, mutate=None):
         F.lit(1).alias("schema_version"),
     )
     root = tempfile.mkdtemp(prefix="cdc_entry_")
+    _REPLAY_TMPDIRS.append(root)
     tbl = TranscriptTable(spark, f"{root}/tbl", n_buckets=8)
     app = ChangeApplier(tbl)
     lo, hi = log.agg(F.min("lsn"), F.max("lsn")).first()
@@ -1223,9 +1243,16 @@ def _replayed_table(spark, sf_dir, n_chunks=_REPLAY_CHUNKS, mutate=None):
             batch = mutate(batch, i)
         app.apply_batch(batch, epoch_id=i)
     if mutate is None:
+        import shutil
+
         while len(_REPLAY_CACHE) >= _REPLAY_CACHE_MAX:
-            _REPLAY_CACHE.pop(next(iter(_REPLAY_CACHE)))
-        _REPLAY_CACHE[cache_key] = tbl
+            _, old_root = _REPLAY_CACHE.pop(next(iter(_REPLAY_CACHE)))
+            # the root is process-private (mkdtemp above) — reclaim it now
+            # rather than only at exit, and drop it from the atexit list
+            shutil.rmtree(old_root, ignore_errors=True)
+            if old_root in _REPLAY_TMPDIRS:
+                _REPLAY_TMPDIRS.remove(old_root)
+        _REPLAY_CACHE[cache_key] = (tbl, root)
     return tbl
 
 
@@ -1251,8 +1278,13 @@ def q_cdc_time_travel(spark, sf_dir):
     timestamp resolution is pinned in pytest (wall-clock timestamps are not
     oracle-able)."""
     tbl = _replayed_table(spark, sf_dir)
-    ver = max(h["version"] for h in tbl.history()
-              if h["epoch_hwm"] == _TT_PREFIX - 1)
+    ver = max((h["version"] for h in tbl.history()
+               if h["epoch_hwm"] == _TT_PREFIX - 1), default=None)
+    if ver is None:
+        raise ValueError(
+            f"time travel: no commit with epoch_hwm == {_TT_PREFIX - 1} in "
+            f"the replay history (chunk {_TT_PREFIX - 1} never landed — "
+            f"history epochs: {[h['epoch_hwm'] for h in tbl.history()]})")
     return tbl.snapshot(version=ver).select(
         "conv_id", "turn_idx", "text", F.col("lsn").alias("last_lsn"))
 
@@ -1450,8 +1482,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup": q_emb_near_dup,
         "minhash_pairs_docs": q_minhash_pairs_docs,
         "simhash_pairs_docs": q_simhash_pairs_docs,
-        # rows-only (approximate-by-construction: LSH candidate generation
-        # with recall < 1 at its parameters; pinned by 3-path parity pytest)
+        # oracled since r5: DuckDB twin reproduces the same md5-plane LSH
+        # (buckets, multiprobe, rank); 3-path parity also pinned in pytest
         "emb_ann_lsh": q_emb_ann_lsh,
     }
 

@@ -1267,6 +1267,16 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
         if ss_code not in ss_map:
             raise ValueError("reserved FLAC sample size code")
         bps = ss_map[ss_code]
+        # the tail of this function normalizes every sample by STREAMINFO's
+        # bps and labels the clip with one rate — a frame that overrides
+        # either would decode mis-scaled/mislabeled, so treat disagreement
+        # as malformed (decode-skip), consistent with the strict checks
+        if bps != si_bps:
+            raise ValueError(
+                f"FLAC frame bps {bps} != STREAMINFO bps {si_bps}")
+        if rate != si_rate:
+            raise ValueError(
+                f"FLAC frame rate {rate} != STREAMINFO rate {si_rate}")
         header = payload[frame_start:bits.byte_pos]
         if bits.u(8) != _flac_crc8(header):
             raise ValueError("FLAC frame header CRC-8 mismatch")

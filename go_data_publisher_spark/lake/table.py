@@ -86,13 +86,18 @@ def _footer_stats(path: str, order_col: str, del_col: str | None = None):
     exact upsert/delete split from the same footer read — this is what lets
     a commit write ONE file per touched bucket instead of a
     partitionBy-(bucket, is-delete) pair while keeping exact per-op lineage
-    counters.  n_deletes is None when ``del_col`` is absent/unrequested or a
-    row group lacks a null count (the caller falls back to a column scan)."""
+    counters.  n_deletes is 0 when ``del_col`` is absent from the file's
+    schema entirely (a file with no marker column carries no tombstones),
+    and None only when the column EXISTS but a row group lacks a null count
+    — the one case where the caller's fallback column scan is both needed
+    and guaranteed not to raise."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
     names = md.schema.names
     n_del = None
+    if del_col is not None and del_col not in names:
+        n_del = 0
     if del_col is not None and del_col in names:
         didx = names.index(del_col)
         non_null = 0
