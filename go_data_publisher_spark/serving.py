@@ -111,12 +111,55 @@ def build_report(spark, tbl, lineage_dir: str | None = None,
     return report
 
 
+def build_metrics_text(tbl, namespace: str = "gdps",
+                       lineage_totals: dict | None = None) -> str:
+    """Prometheus text exposition (format 0.0.4) of the engine's progress
+    gauges — the reference's scrape surface
+    (status-service/metrics/metrics.go:23-100: processed tick/epoch, source
+    tick/epoch, error gauges, one flat namespace prefix).
+
+    The manifest gauges come from the same O(1) raw-manifest read as
+    ``/status`` — safe at scrape frequency, NO Spark job.  ``lineage_totals``
+    (rows upserted/deleted/quarantined, epochs) is optional and supplied by
+    the caller from its TTL cache, because computing it runs Spark jobs;
+    when absent those series are simply not exported, which Prometheus
+    treats as a disappearing series, not an error."""
+    m = tbl.manifest()
+    gauges: list[tuple[str, str, float | int | None]] = [
+        ("cursor_lsn",
+         "Highest LSN durably applied to the table "
+         "(reference: processed_transactions_tick)", m["cursor_lsn"]),
+        ("epoch_hwm",
+         "Highest fully committed epoch "
+         "(reference: processed_transactions_epoch)", m["epoch_hwm"]),
+        ("table_version", "Current committed table version", m["version"]),
+        ("live_files", "Live data files in the current snapshot",
+         m.get("n_live_files", len(m["files"]))),
+        ("delta_files_max_per_bucket",
+         "Deepest per-bucket delta chain awaiting compaction",
+         max(tbl.delta_file_counts().values(), default=0)),
+    ]
+    for name, (help_, value) in (lineage_totals or {}).items():
+        gauges.append((name, help_, value))
+    out = []
+    for name, help_, value in gauges:
+        if value is None:
+            continue
+        full = f"{namespace}_{name}"
+        out.append(f"# HELP {full} {help_}")
+        out.append(f"# TYPE {full} gauge")
+        out.append(f"{full} {value}")
+    return "\n".join(out) + "\n"
+
+
 class ReportServer:
     """Minimal HTTP JSON endpoint over one table.
 
     Routes: ``/healthz`` (constant), ``/status`` (manifest fast path),
-    ``/history`` (retained snapshot log), ``/report`` (full document, runs
-    Spark jobs).  Threaded: the cheap routes answer while a slow /report is
+    ``/metrics`` (Prometheus text format: manifest gauges + TTL-cached
+    lineage totals), ``/history`` (retained snapshot log), ``/report``
+    (full document, runs Spark jobs).  Threaded: the cheap routes answer
+    while a slow /report is
     in flight; one Spark session is shared (job submission is thread-safe).
     The driver is still not a web worker pool — put a cache/proxy in front
     for real fan-out, exactly as the reference fronts its status service.
@@ -144,11 +187,16 @@ class ReportServer:
                 # COMPUTE fully before writing a single response byte, so a
                 # compute failure becomes a clean 500 and a socket failure
                 # never triggers a second status line on the same connection
+                ctype = "application/json"
                 try:
                     if self.path == "/healthz":
                         status, body = 200, {"ok": True}
                     elif self.path == "/status":
                         status, body = 200, build_status(outer.tbl)
+                    elif self.path == "/metrics":
+                        # Prometheus scrape target: text format, not JSON
+                        status, body = 200, outer._metrics_text()
+                        ctype = "text/plain; version=0.0.4"
                     elif self.path == "/history":
                         status, body = 200, {"history": outer.tbl.history()}
                     elif self.path == "/report":
@@ -156,11 +204,12 @@ class ReportServer:
                     else:
                         status, body = 404, {"error": "not found"}
                 except Exception as exc:  # surface as 500, keep serving
-                    status, body = 500, {"error": str(exc)}
-                payload = json.dumps(body, default=str).encode()
+                    status, body, ctype = 500, {"error": str(exc)}, "application/json"
+                payload = (body.encode() if isinstance(body, str)
+                           else json.dumps(body, default=str).encode())
                 try:
                     self.send_response(status)
-                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Type", ctype)
                     self.send_header("Content-Length", str(len(payload)))
                     self.end_headers()
                     self.wfile.write(payload)
@@ -180,7 +229,9 @@ class ReportServer:
         # driver.  report_builds counts ACTUAL builds (observable in tests).
         self.report_ttl_seconds = float(report_ttl_seconds)
         self.report_builds = 0
+        self.lineage_builds = 0
         self._report_cache: tuple[float, dict] | None = None
+        self._lineage_cache: tuple[float, dict] | None = None
         self._report_lock = threading.Lock()
         # Threading: /healthz and /status (no Spark job) must answer while a
         # slow /report (several Spark jobs) is in flight, or a liveness
@@ -210,6 +261,53 @@ class ReportServer:
             self.report_builds += 1
             self._report_cache = (time.monotonic(), body)
             return body
+
+    def _metrics_text(self) -> str:
+        """/metrics body: manifest gauges are recomputed every scrape (O(1)
+        read, no Spark); the lineage totals ride the same TTL discipline as
+        /report — at most one Spark aggregation per window, shared across
+        concurrent scrapes via the report lock."""
+        import time
+
+        lineage_totals = None
+        if self.lineage_dir and os.path.isdir(self.lineage_dir):
+            with self._report_lock:
+                now = time.monotonic()
+                if (self._lineage_cache is not None
+                        and now - self._lineage_cache[0] < self.report_ttl_seconds):
+                    lineage_totals = self._lineage_cache[1]
+                else:
+                    from .schemas import LINEAGE_SCHEMA
+
+                    lin = self.spark.read.schema(LINEAGE_SCHEMA).json(
+                        self.lineage_dir)
+                    # rows_quarantined is an EPOCH-level count replicated
+                    # into every per-bucket row (quarantined rows never
+                    # reach a bucket, so there is no per-partition split) —
+                    # take it once per epoch, then sum epochs
+                    row = lin.groupBy("epoch_id").agg(
+                        F.sum("rows_upserted").alias("u"),
+                        F.sum("rows_deleted").alias("d"),
+                        F.max("rows_quarantined").alias("q"),
+                    ).agg(F.sum("u"), F.sum("d"), F.sum("q"),
+                          F.count("*")).first()
+                    lineage_totals = {
+                        "rows_upserted_total":
+                            ("Rows upserted across all committed epochs",
+                             row[0] or 0),
+                        "rows_deleted_total":
+                            ("Rows deleted across all committed epochs",
+                             row[1] or 0),
+                        "rows_quarantined_total":
+                            ("Rows quarantined by the validity guard",
+                             row[2] or 0),
+                        "lineage_epochs":
+                            ("Distinct epochs with lineage records",
+                             row[3] or 0),
+                    }
+                    self.lineage_builds += 1
+                    self._lineage_cache = (time.monotonic(), lineage_totals)
+        return build_metrics_text(self.tbl, lineage_totals=lineage_totals)
 
     def start(self) -> None:
         import threading
