@@ -81,6 +81,25 @@ def q_cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_final_state_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale twin of ``cdc_final_state``: the explicit two-phase salted
+    reduction (north_rule's salted repartition on the conv key — hot
+    conversations spread over n_salts reducers before the final per-key
+    reduce).  Semantics identical to the max_by path, so it shares the
+    oracle; benched beside it so the shape you'd run under defeated
+    map-side aggregation has a tracked number (r5 verdict #4)."""
+    log = _as_changelog(_t(spark, sf_dir, "events"))
+    winners = D.last_wins_salted(log, key=("conv_id", "turn_idx"),
+                                 order=("lsn",), n_salts=8)
+    return winners.where(F.col("op") != "D").select(
+        "conv_id",
+        "turn_idx",
+        F.col("lsn").alias("last_lsn"),
+        F.col("text").alias("text"),
+        F.round("value", 2).alias("last_value"),
+    )
+
+
 SQL_CDC_FINAL_STATE = f"""
   WITH log AS ({_CHANGELOG_SQL}),
   ranked AS (
@@ -1438,6 +1457,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_final_state": q_cdc_final_state,
+        "cdc_final_state_salted": q_cdc_final_state_salted,
         "cdc_engine_replay": q_cdc_engine_replay,
         "cdc_time_travel": q_cdc_time_travel,
         "cdc_schema_evolution": q_cdc_schema_evolution,
@@ -1491,6 +1511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "cdc_final_state": SQL_CDC_FINAL_STATE,
+        "cdc_final_state_salted": SQL_CDC_FINAL_STATE,
         "cdc_engine_replay": SQL_CDC_ENGINE_REPLAY,
         "cdc_time_travel": SQL_CDC_TIME_TRAVEL,
         "cdc_schema_evolution": SQL_CDC_SCHEMA_EVOLUTION,
