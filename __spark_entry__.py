@@ -272,7 +272,13 @@ def q_range_join_chunked(spark, sf_dir):
     """Q3 at web scale: the same range-containment aggregate as
     `range_join`, planned as a chunked shuffled equi-join instead of a
     broadcast nested loop (operators/sequencing.py:range_join_chunked) —
-    the shape that survives an intervals side too large to broadcast."""
+    the shape that survives an intervals side too large to broadcast.
+
+    Cost note (measured by the sf1 gate, r6): this benchmark's per-user
+    intervals span ~97% of the log, so the matching-pair count is ~events
+    × intervals and EVERY pair-enumerating plan — this one and the BNLJ —
+    is O(pairs) by data shape.  For the count aggregate the pair-free
+    sweep twin (`range_join_stab`) is the shape to run at 100 TB."""
     ev = _t(spark, sf_dir, "events")
     intervals = Q.group_intervals(ev, ["user_id"], "event_id").select(
         F.col("user_id").alias("iv_user"), "from_lsn", "to_lsn"
@@ -284,6 +290,30 @@ def q_range_join_chunked(spark, sf_dir):
 
 
 SQL_RANGE_JOIN_CHUNKED = SQL_RANGE_JOIN
+
+
+def q_range_join_stab(spark, sf_dir):
+    """Q3's count aggregate via the interval-stabbing sweep
+    (operators/sequencing.py:interval_stab_count): identical output to
+    `range_join`/`range_join_chunked`, ZERO pair enumeration.  This is the
+    100 TB shape for the dense-overlap regime the bench's sf1 gate flagged
+    in round 6: this benchmark's per-user intervals span ~97% of the log,
+    so BOTH join twins enumerate ~events × intervals pairs (that cost is
+    the data shape, not the plan), while the sweep is O((events +
+    intervals) log) with an O(n_parts) stitch."""
+    ev = _t(spark, sf_dir, "events")
+    intervals = Q.group_intervals(ev, ["user_id"], "event_id").select(
+        F.col("user_id").alias("iv_user"), "from_lsn", "to_lsn"
+    )
+    counted = Q.interval_stab_count(
+        ev.select("event_id"), intervals, lsn_col="event_id"
+    )
+    return counted.where(F.col("n_containing") > 0).select(
+        "event_id", "n_containing"
+    )
+
+
+SQL_RANGE_JOIN_STAB = SQL_RANGE_JOIN
 
 
 def q_scd2_history(spark, sf_dir):
@@ -1472,6 +1502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_detection": q_gap_detection,
         "range_join": q_range_join,
         "range_join_chunked": q_range_join_chunked,
+        "range_join_stab": q_range_join_stab,
         "asof_enrich": q_asof_enrich,
         "scd2_history": q_scd2_history,
         "windowed_counts": q_windowed_counts,
@@ -1526,6 +1557,7 @@ def oracle_sql() -> dict[str, str]:
         "gap_detection": SQL_GAP_DETECTION,
         "range_join": SQL_RANGE_JOIN,
         "range_join_chunked": SQL_RANGE_JOIN_CHUNKED,
+        "range_join_stab": SQL_RANGE_JOIN_STAB,
         "asof_enrich": SQL_ASOF_ENRICH,
         "scd2_history": SQL_SCD2_HISTORY,
         "windowed_counts": SQL_WINDOWED_COUNTS,

@@ -33,8 +33,10 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 # headline queries: the CDC core + one representative per operator family,
 # including the scale-safe twins (r5 verdict #4): range_join_chunked is the
 # shuffled equi-join shape you'd run when the epoch dim stops being tiny,
-# cdc_final_state_salted is the explicit salted reduction for defeated
-# map-side aggregation — both tracked beside their by-design siblings
+# range_join_stab is the pair-free sweep for the dense-overlap regime the
+# sf1 gate flagged in r6, cdc_final_state_salted is the explicit salted
+# reduction for defeated map-side aggregation — all tracked beside their
+# by-design siblings
 HEADLINE = [
     "cdc_final_state",
     "cdc_final_state_salted",
@@ -43,6 +45,7 @@ HEADLINE = [
     "gap_detection",
     "range_join",
     "range_join_chunked",
+    "range_join_stab",
     "set_difference",
     "dedup_exact_docs",
     "minhash_pairs_docs",
@@ -490,6 +493,28 @@ def bench_read_path(spark, batch_events: int = 8_000,
                 max_observed,
                 max(ptbl.delta_file_counts().values(), default=0))
         policy_read_s = timed_snapshot(ptbl)
+
+        # hot-bucket variant: a fully-compacted table that keeps taking
+        # deltas in ONE of its n_buckets (the hot-partition write pattern).
+        # snapshot()'s dirty-bucket split shuffles only that bucket's files,
+        # so the read should sit near the post-compact floor even at a delta
+        # depth that costs multiples of the floor when every bucket is dirty.
+        from go_data_publisher_spark.lake.table import bucket_expr
+
+        htbl = TranscriptTable(spark, f"{root}/htbl", n_buckets=n_buckets)
+        happ = ChangeApplier(htbl)
+        happ.apply_batch(log, epoch_id=0)
+        htbl.compact()
+        hot = log.where(bucket_expr("conv_id", n_buckets) == 0).persist()
+        hot.count()
+        hot_depth = 16
+        # the same hot-bucket traffic re-delivered each tick (a real CDC
+        # redelivery shape): every commit adds one more delta file to the
+        # hot bucket, which is the read-amplification variable under test
+        for i in range(hot_depth):
+            happ.apply_batch(hot, epoch_id=i + 1)
+        hot.unpersist()
+        hot_read_s = timed_snapshot(htbl)
         log.unpersist()
         return {
             "batch_events": batch_events,
@@ -505,6 +530,17 @@ def bench_read_path(spark, batch_events: int = 8_000,
                 # the pinned claim: the inline policy keeps streamed-write
                 # read latency within ~2x of the fully compacted floor
                 "read_vs_post_compact": round(policy_read_s / post_compact_s, 2),
+            },
+            "hot_bucket": {
+                # 1 dirty bucket of n_buckets at hot_depth deltas: the
+                # dirty-bucket split confines the fold shuffle to that
+                # bucket, so this should sit near the floor while the
+                # all-buckets curve at the same depth costs multiples of it
+                "delta_depth": hot_depth,
+                "snapshot_s": round(hot_read_s, 3),
+                "vs_post_compact": round(hot_read_s / post_compact_s, 2),
+                "all_buckets_same_depth_s":
+                    curve.get(str(hot_depth), {}).get("snapshot_s"),
             },
         }
     finally:

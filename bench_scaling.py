@@ -522,7 +522,13 @@ empty table and into a table preloaded with 1M events (`commit_cost` in the
 JSON).  Measured ratio ≈ **0.9–1.0**: commit cost is O(batch), independent
 of table size — the property that keeps a CDC tail alive at 100 TB (the
 round-1 copy-on-write design rewrote every touched bucket, making every
-commit O(table)).
+commit O(table)).  Since round 6 the block also splits each commit into
+`driver_phase_s` (footer-stat reads + manifest fold — the only part that
+could hide an O(live-files) term) and `write_stage_s` (the executor write
+job): the driver phase is O(batch-files) at BOTH table sizes (tens of ms,
+same file count either way), pinning the earlier rounds' ratio drift
+(0.92 → 1.21 → 1.40 across r3–r5) to write-stage/JVM variance on this
+shared box, not to a table-size term in the commit path.
 
 ## Commit cost vs live-file count (manifest-delta evidence)
 
@@ -544,6 +550,81 @@ sub-second at 256 buckets; the residual full-
 commit growth is the write job producing ~16× more output files, which a
 multi-executor cluster parallelizes (and which the write-task cap bounds at
 ~2× cluster parallelism locally).
+
+## Read path vs delta depth (auto-compaction evidence)
+
+`bench.py`'s `read_path` block measures the one classic failure mode of a
+merge-on-read design: full-snapshot latency as delta files accumulate
+between compactions.  With inline compaction disabled, `snapshot()` cost
+grows ~linearly with delta depth (each delta adds one more parquet scan +
+one more round of the LSN-guarded fold per bucket) — roughly **10× slower
+at 64 deltas/bucket than at 1**.  A `compact()` collapses the chain back to
+the floor.  The same stream replayed WITH the inline policy
+(`ChangeApplier(compact_delta_files=8)`) triggers compaction every ~8
+commits, keeps the observed depth strictly below the threshold, and holds
+`snapshot()` **within ~1× of the fully-compacted floor** while writes
+stream (`read_vs_post_compact` ≈ 0.8–1.3 across runs; the pinned claim is
+≤ ~2×).  Policy trigger behavior is separately pytest-pinned
+(`tests/test_maintenance.py`).  Reference semantics: the verifier's
+read-after-write path (status-service/sync/tick_processor.go:251-310) —
+reads must stay cheap while the write side tails.
+
+The block's `hot_bucket` sub-measurement covers the skewed-write pattern:
+a fully-compacted table that keeps taking deltas in ONE of its buckets.
+`snapshot()` splits its plan at the bucket level — the last-wins fold (a
+hash-aggregate shuffle) covers only buckets that hold delta files, and
+compacted buckets ride a Union branch around it as plain scans
+(`lake/table.py:_split_snapshot_files`, plan pinned in
+`tests/test_plan_shapes.py`).  Measured effect: at the same per-bucket
+delta depth, the 1-dirty-bucket read sits near the post-compact floor
+while the every-bucket-dirty read costs multiples of it — at 100 TB this
+is the difference between re-shuffling the table per read and
+re-shuffling the working set.
+
+## Microbatch commit latency (poll-cadence evidence)
+
+The reference consumes on a 100 ms poll cadence
+(transactions-consumer/consume/transaction_consumer.go:72-91), so a
+replacement engine owes a LATENCY distribution, not just throughput.
+`bench.py`'s `microbatch_latency` block pushes 30 sequential 2k-event
+batches through the full exactly-once path (dedup → bucket write → footer
+stats → atomic manifest swap) and reports p50/p95/min/max wall clock per
+batch — **p50 ≈ 0.6–0.9s, p95 ≈ 1.1–1.6s** on local[32] at 32 buckets.
+The floor is Spark job-scheduling overhead (two jobs per commit), not data
+volume: the same path moves 4M-event batches at >500k ev/s, so per-event
+cost at 2k events is ~99% fixed overhead.  That is the honest trade of a
+Spark microbatch engine vs the reference's in-process 100 ms loop: ~0.7s
+commit latency instead of ~0.1s, in exchange for exactly-once table
+commits and two orders of magnitude more headroom per batch.  A deployment
+that needs sub-second p50 raises the poll interval to amortize (the
+reference itself batches up to 4096 records per poll for the same
+reason) or drops `n_buckets`; both knobs are exposed.
+
+## Per-query host-validity gating
+
+Every headline-query row in `BENCH_r*.json` since round 6 carries its own
+control (`query_control`): the full best-of sample list, the max/min
+spread, and a quarter-scale pure-JVM `mini_probe` sampled immediately
+before the first timed run, expressed as `probe_factor` = probe ÷ good-day
+constant.  Reading a row: slow best-of + probe_factor ≈ 1 + tight spread =
+engine regression; slow best-of + probe_factor ≫ 1 or wide spread = the
+box (this shared host shows 3s → 25s same-binary swings).  This closes the
+round-5 attribution gap where four queries "regressed" 30–90% with no code
+change and only whole-artifact probes could argue host noise.  The factor
+is a validity gate, not a divisor.
+
+## 10× query-set scaling (sf1)
+
+`bench.py`'s `sf1` block re-times the whole headline query set on a
+deterministically synthesized 10× copy of the sf0.1 tables (disjoint id
+spaces; document text alphabet-rotated per copy so length/shingle
+statistics are preserved but no artificial cross-copy near-duplicates
+exist; embedding dims rotated likewise — see `synthesize_sf1`).  Reported
+`ratio_per_event` = t_sf1 ÷ (10 × t_sf0.1): ≈1 is linear, <1 sublinear
+(fixed job overhead amortizing), >1 flags superlinear work.  Every
+headline operator — including MinHash/LSH candidate generation and the
+chunked range join — lands **at or below ~0.5 per-event** at 10×: no
+operator in the set has a superlinear term at this scale.
 
 ## Table backend
 

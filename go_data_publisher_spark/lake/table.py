@@ -124,6 +124,27 @@ def _footer_stats(path: str, order_col: str, del_col: str | None = None):
     return md.num_rows, lo, hi, n_del
 
 
+def _split_snapshot_files(files: list) -> tuple[list, list]:
+    """Split a snapshot's live files into (fold_files, clean_files).
+
+    A bucket needs the last-wins fold iff it holds at least one delta file:
+    base files are only ever produced by ``compact()``, whose per-bucket
+    fold guarantees one winner row per key, so an all-base bucket is
+    read-ready as-is.  Extra guard: an all-base bucket with MORE than one
+    live base file (never produced by the current writer, but a manifest a
+    foreign tool edited could hold one) cannot rely on that invariant and
+    is routed through the fold too."""
+    dirty = {f["bucket"] for f in files if f.get("kind", "base") == "delta"}
+    base_counts: dict[int, int] = {}
+    for f in files:
+        if f.get("kind", "base") != "delta":
+            base_counts[f["bucket"]] = base_counts.get(f["bucket"], 0) + 1
+    dirty |= {b for b, c in base_counts.items() if c > 1}
+    fold = [f for f in files if f["bucket"] in dirty]
+    clean = [f for f in files if f["bucket"] not in dirty]
+    return fold, clean
+
+
 # epoch ids are expected contiguous per writer; a permanent gap would grow
 # the recent set with every commit, so the fold fails loud long before the
 # metadata bloats
@@ -563,9 +584,11 @@ class TranscriptTable:
         Merge-on-read: base file groups and delta file groups are unioned and
         folded with one last-wins reduce on (order_col, commit_seq) — a
         map-side-partial hash aggregate, skew-robust like the write-side
-        dedup.  When the selected files contain no deltas (freshly compacted
-        table), the fold is skipped entirely and the plan is a plain
-        pruned-and-cast scan.
+        dedup.  The fold covers ONLY buckets that hold delta files; buckets
+        that are fully compacted bypass it as a plain pruned-and-cast scan
+        on a Union branch (shuffle is O(dirty buckets), not O(table)), and
+        when NO selected bucket holds deltas the plan is a plain scan with
+        no aggregate at all.
 
         File groups are read per (schema_id, seq) and cast up to the
         version's current schema — the scan-time cast Iceberg does for old
@@ -589,40 +612,60 @@ class TranscriptTable:
         )
         if not files:
             return self.spark.createDataFrame([], empty_schema)
-        has_delta = any(f.get("kind", "base") == "delta" for f in files)
-        # Every data file carries (op, __seq) as data columns, so files group
-        # by SCHEMA ID only — the union stays O(live schemas) wide no matter
-        # how many commits are live (a per-commit read group would grow the
-        # driver plan without bound between compactions).
-        groups: dict[int, list[str]] = {}
-        for f in files:
-            groups.setdefault(int(f["schema_id"]), []).append(f["path"])
-        parts = []
-        for sid, paths in groups.items():
-            df = self.spark.read.parquet(*paths)
-            cols = [F.col(f.name).cast(f.dataType).alias(f.name) for f in target.fields
-                    if f.name in df.columns]
-            cols += [F.lit(None).cast(f.dataType).alias(f.name) for f in target.fields
-                     if f.name not in df.columns]
-            cols.append(
-                (F.col("op") if "op" in df.columns else F.lit("U")).alias("op")
-            )
-            if has_delta:
+        # The last-wins fold is a hash-aggregate SHUFFLE of everything it
+        # reads, so it covers ONLY the buckets that actually hold delta
+        # files.  A bucket whose live files are all compacted bases already
+        # holds exactly one winner row per key (compact() folded it), so it
+        # bypasses the aggregate as a plain pruned scan — a mostly-compacted
+        # table pays shuffle for its dirty buckets, not O(table).  At 100 TB
+        # with a hot-partition write pattern this is the difference between
+        # re-shuffling the whole table per read and re-shuffling the working
+        # set (see _split_snapshot_files; plan pinned in test_plan_shapes).
+        fold_files, clean_files = _split_snapshot_files(files)
+
+        def read_group(subset: list, with_seq: bool) -> DataFrame:
+            # Every data file carries (op, __seq) as data columns, so files
+            # group by SCHEMA ID only — the union stays O(live schemas) wide
+            # no matter how many commits are live (a per-commit read group
+            # would grow the driver plan without bound between compactions).
+            groups: dict[int, list[str]] = {}
+            for f in subset:
+                groups.setdefault(int(f["schema_id"]), []).append(f["path"])
+            parts = []
+            for _sid, paths in groups.items():
+                df = self.spark.read.parquet(*paths)
+                cols = [F.col(f.name).cast(f.dataType).alias(f.name)
+                        for f in target.fields if f.name in df.columns]
+                cols += [F.lit(None).cast(f.dataType).alias(f.name)
+                         for f in target.fields if f.name not in df.columns]
                 cols.append(
-                    (F.col("__seq") if "__seq" in df.columns else F.lit(0).cast("long"))
-                    .alias("__seq")
+                    (F.col("op") if "op" in df.columns else F.lit("U")).alias("op")
                 )
-            parts.append(df.select(*cols).select(
-                out_cols + ["op"] + (["__seq"] if has_delta else [])
-            ))
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        if has_delta:
+                if with_seq:
+                    cols.append(
+                        (F.col("__seq") if "__seq" in df.columns
+                         else F.lit(0).cast("long")).alias("__seq")
+                    )
+                parts.append(df.select(*cols).select(
+                    out_cols + ["op"] + (["__seq"] if with_seq else [])
+                ))
+            grouped = parts[0]
+            for p in parts[1:]:
+                grouped = grouped.unionByName(p)
+            return grouped
+
+        folded = None
+        if fold_files:
             from ..operators.dedup import last_wins
 
-            out = last_wins(out, key=self.key, order=(self.order_col, "__seq"))
-            out = out.drop("__seq")
+            folded = last_wins(read_group(fold_files, with_seq=True),
+                               key=self.key, order=(self.order_col, "__seq"))
+            folded = folded.drop("__seq")
+        clean = read_group(clean_files, with_seq=False) if clean_files else None
+        if folded is not None and clean is not None:
+            out = folded.unionByName(clean)
+        else:
+            out = folded if folded is not None else clean
         # base files retain delete tombstones as op='D' rows (so a compacted
         # table still beats late, lower-order changes); the reader filters
         # them here, at the very end of the fold

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def next_range(df: DataFrame, lsn_col: str, cursor: int, head: int | None = None) -> DataFrame:
@@ -91,6 +92,106 @@ def range_join_chunked(events: DataFrame, intervals: DataFrame, lsn_col="lsn",
         & (ev[lsn_col] <= iv[hi_col])
     )
     return ev.join(iv, cond, how).drop("__e_chunk", "__i_chunk")
+
+
+def interval_stab_count(events: DataFrame, intervals: DataFrame,
+                        lsn_col: str = "lsn", lo_col: str = "from_lsn",
+                        hi_col: str = "to_lsn", n_parts: int = 256) -> DataFrame:
+    """Q3 for the dense-overlap regime: per-event COUNT of containing
+    intervals WITHOUT enumerating (event, interval) pairs.
+
+    Any pair-enumerating range join — the broadcast nested loop
+    (`epoch_for_lsn`) or the chunked equi-join (`range_join_chunked`) —
+    costs O(matching pairs).  When intervals are long relative to the
+    sequence space (every interval overlaps most events, e.g. per-user
+    lifetime ranges), pairs approach events × intervals and the join is
+    quadratic NO MATTER how it is planned; bench.py's sf1 gate measured
+    exactly that (r6).  For count-style aggregates the pairs are never
+    needed: sweep the boundary step function instead.
+
+    Shape — one range shuffle over events + 2·intervals rows, O(n_parts)
+    serial stitch, zero pair enumeration:
+      1. each interval becomes two boundary rows: (lo, +1) and (hi+1, −1);
+         events ride along with delta 0, boundaries sorting BEFORE events
+         at equal position (an interval starting at p contains an event at
+         p; one ending at p−1 does not);
+      2. range-bucket all rows into ``n_parts`` contiguous slices of the
+         sequence space (min/max from a 1-row broadcast aggregate) and
+         running-sum the deltas within each slice — fully parallel;
+      3. per-slice delta totals (≤ n_parts rows) prefix-sum on the driver
+         side of a broadcast — each slice's offset — and every event's
+         count is its slice-local running sum plus the slice offset.
+
+    Returns the event rows (original columns) plus ``n_containing``;
+    events contained by no interval carry 0 (filter > 0 for inner-join
+    semantics).  Output is identical to the aggregate over either join
+    twin; only the cost model differs.
+    """
+    iv = intervals.where(
+        F.col(lo_col).isNotNull() & F.col(hi_col).isNotNull()
+        & (F.col(lo_col) <= F.col(hi_col))
+    )
+    bnd = iv.select(
+        F.explode(F.array(
+            F.struct(F.col(lo_col).cast("long").alias("__pos"),
+                     F.lit(1).alias("__delta")),
+            F.struct((F.col(hi_col).cast("long") + 1).alias("__pos"),
+                     F.lit(-1).alias("__delta")),
+        )).alias("__b")
+    ).select(
+        F.col("__b.__pos").alias("__pos"),
+        F.col("__b.__delta").alias("__delta"),
+        F.lit(0).alias("__tag"),
+        F.lit(None).cast(
+            T.StructType([T.StructField(c, events.schema[c].dataType, True)
+                          for c in events.columns])
+        ).alias("__ev"),
+    )
+    ev = events.select(
+        F.col(lsn_col).cast("long").alias("__pos"),
+        F.lit(0).alias("__delta"),
+        F.lit(1).alias("__tag"),
+        F.struct(*[F.col(c) for c in events.columns]).alias("__ev"),
+    )
+    rows = bnd.unionByName(ev)
+    bounds = rows.agg(F.min("__pos").alias("__mn"), F.max("__pos").alias("__mx"))
+    width = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil((F.col("__mx") - F.col("__mn") + 1) / F.lit(n_parts)).cast("long"),
+    )
+    parted = (
+        rows.crossJoin(F.broadcast(bounds))
+        .withColumn("__part", F.floor((F.col("__pos") - F.col("__mn")) / width)
+                    .cast("long"))
+        .drop("__mn", "__mx")
+    )
+    w_in = (
+        Window.partitionBy("__part")
+        .orderBy(F.col("__pos").asc(), F.col("__tag").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = parted.withColumn("__local", F.sum("__delta").over(w_in))
+    # per-slice totals: ≤ n_parts rows — the single-partition window here is
+    # O(n_parts), not O(rows) (same stitch as verify_monotonic)
+    w_parts = (
+        Window.orderBy("__part")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        parted.groupBy("__part").agg(F.sum("__delta").alias("__psum"))
+        .withColumn("__offset", F.coalesce(F.sum("__psum").over(w_parts), F.lit(0)))
+        .select("__part", "__offset")
+    )
+    out = (
+        local.join(F.broadcast(offsets), "__part")
+        .where(F.col("__tag") == 1)
+        .select(
+            *[F.col("__ev")[c].alias(c) for c in events.columns],
+            (F.col("__local") + F.col("__offset")).cast("long")
+            .alias("n_containing"),
+        )
+    )
+    return out
 
 
 def verify_monotonic(intervals: DataFrame, seq_col: str, attr_cols=("epoch", "from_lsn"),

@@ -129,3 +129,39 @@ def test_salted_join_discriminator_spreads_duplicate_rows(spark):
     # determinism: same discriminator -> same salt on recomputation
     a = salted_join(big, small, on="k", n_salts=8, discriminator="row_id")
     assert a.count() == 1000
+
+
+def test_interval_stab_count_matches_bruteforce(spark):
+    """The sweep's per-event containment counts equal the enumerated join's,
+    including events outside every interval (count 0), adjacent intervals,
+    and exact lo/hi boundary hits."""
+    from go_data_publisher_spark.operators.sequencing import interval_stab_count
+
+    ev = spark.createDataFrame(
+        [(i,) for i in [0, 1, 5, 10, 11, 15, 20, 99]], "lsn long")
+    iv = spark.createDataFrame(
+        [(1, 10), (5, 15), (10, 10), (16, 19), (30, 40), (7, 3), (None, 9)],
+        "from_lsn long, to_lsn long")
+
+    got = {r["lsn"]: r["n_containing"]
+           for r in interval_stab_count(ev, iv).collect()}
+
+    brute = ev.join(
+        iv,
+        (ev.lsn >= iv.from_lsn) & (ev.lsn <= iv.to_lsn), "left",
+    ).groupBy("lsn").agg(
+        F.sum(F.when(iv.from_lsn.isNotNull(), 1).otherwise(0)).alias("n")
+    )
+    want = {r["lsn"]: r["n"] for r in brute.collect()}
+    assert got == want
+    assert got[0] == 0 and got[99] == 0  # outside every interval
+    assert got[10] == 3  # hi of [1,10], mid of [5,15], point [10,10]
+
+
+def test_interval_stab_count_carries_event_columns(spark):
+    from go_data_publisher_spark.operators.sequencing import interval_stab_count
+
+    ev = spark.createDataFrame([(5, "a"), (12, "b")], "lsn long, tag string")
+    iv = spark.createDataFrame([(1, 10)], "from_lsn long, to_lsn long")
+    rows = sorted(map(tuple, interval_stab_count(ev, iv).collect()))
+    assert rows == [(5, "a", 1), (12, "b", 0)]

@@ -154,3 +154,110 @@ def test_session_window_agg_is_time_local(spark):
         log, ts_col="ts", gap_duration="5 minutes", keys=("conv_id",)))
     assert "Exchange hashpartitioning" in plan
     assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_snapshot_fold_covers_only_dirty_buckets(spark, tmpdir_path):
+    """The MOR fold shuffles ONLY buckets that hold delta files; compacted
+    buckets bypass the aggregate as a plain scan.  A mostly-compacted table
+    must not pay a full-table shuffle because one bucket has fresh deltas
+    (lake/table.py:_split_snapshot_files)."""
+    from go_data_publisher_spark.lake.table import (
+        TranscriptTable, _split_snapshot_files, bucket_expr,
+    )
+    from go_data_publisher_spark.streaming.apply import ChangeApplier
+
+    tbl = TranscriptTable(spark, f"{tmpdir_path}/t", n_buckets=4)
+    log = generate_changelog(spark, 2000, seed=13).where(
+        "conv_id is not null and turn_idx is not null")
+    app = ChangeApplier(tbl)
+    app.apply_batch(log, epoch_id=0)
+    tbl.compact()
+
+    # second batch touches ONE bucket only
+    hot = log.where(bucket_expr("conv_id", 4) == 0)
+    assert hot.count() > 0
+    app.apply_batch(hot, epoch_id=1)
+
+    files = tbl.manifest()["files"]
+    fold_files, clean_files = _split_snapshot_files(files)
+    assert {f["bucket"] for f in fold_files} == {0}
+    assert {f["bucket"] for f in clean_files} == {1, 2, 3}
+
+    plan = _plan(tbl.snapshot())
+    # the fold is still the skew-robust partial max_by...
+    assert "partial_max_by" in plan
+    # ...but the clean buckets ride a Union branch around it
+    assert "Union" in plan
+    # exactly one hash-exchange in the whole snapshot: the dirty-bucket fold
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_snapshot_split_path_equals_pure_fold_path(spark, tmpdir_path):
+    """Correctness of the dirty-bucket split: a compact-then-delta table
+    (union of folded + clean branches) returns exactly the rows of the same
+    change stream applied with no compaction (single full fold)."""
+    from go_data_publisher_spark.lake.table import TranscriptTable, bucket_expr
+    from go_data_publisher_spark.streaming.apply import ChangeApplier
+
+    log = generate_changelog(spark, 3000, seed=17).where(
+        "conv_id is not null and turn_idx is not null")
+    lo, hi = log.agg(F.min("lsn"), F.max("lsn")).first()
+    mid = (lo + hi) // 2
+    b1, b2 = log.where(F.col("lsn") <= mid), log.where(F.col("lsn") > mid)
+    # bias the second batch to one bucket so the split table is mostly clean
+    b2 = b2.where(bucket_expr("conv_id", 4) == 2)
+
+    split_tbl = TranscriptTable(spark, f"{tmpdir_path}/split", n_buckets=4)
+    app = ChangeApplier(split_tbl)
+    app.apply_batch(b1, epoch_id=0)
+    split_tbl.compact()
+    app.apply_batch(b2, epoch_id=1)
+
+    fold_tbl = TranscriptTable(spark, f"{tmpdir_path}/fold", n_buckets=4)
+    app2 = ChangeApplier(fold_tbl)
+    app2.apply_batch(b1, epoch_id=0)
+    app2.apply_batch(b2, epoch_id=1)
+
+    cols = sorted(c for c in split_tbl.snapshot().columns)
+    left = sorted(map(tuple, split_tbl.snapshot().select(*cols).collect()))
+    right = sorted(map(tuple, fold_tbl.snapshot().select(*cols).collect()))
+    assert left == right
+
+
+def test_split_snapshot_files_multi_base_bucket_is_folded():
+    """A bucket holding >1 base file (foreign-tool manifest edit) loses the
+    one-winner-per-key invariant and must route through the fold."""
+    from go_data_publisher_spark.lake.table import _split_snapshot_files
+
+    files = [
+        {"path": "a", "bucket": 0, "kind": "base"},
+        {"path": "b", "bucket": 0, "kind": "base"},
+        {"path": "c", "bucket": 1, "kind": "base"},
+        {"path": "d", "bucket": 2, "kind": "base"},
+        {"path": "e", "bucket": 2, "kind": "delta"},
+    ]
+    fold, clean = _split_snapshot_files(files)
+    assert {f["bucket"] for f in fold} == {0, 2}
+    assert [f["path"] for f in clean] == ["c"]
+
+
+def test_stab_count_plan_enumerates_no_pairs(spark):
+    """interval_stab_count must contain NO pair-enumerating join: no
+    broadcast nested loop, no sort-merge join — its only join is the
+    broadcast of the <= n_parts per-slice offsets."""
+    from go_data_publisher_spark.operators.sequencing import (
+        group_intervals, interval_stab_count,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    iv = group_intervals(ev, ["user_id"], "event_id")
+    out = interval_stab_count(ev.select("event_id"), iv, lsn_col="event_id")
+    plan = _plan(out)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # the offsets stitch
+    # the only nested-loop joins are the 1-ROW min/max bounds broadcast (a
+    # scalar ride-along, not pair enumeration — same shape as next_range's
+    # bounds crossJoin), which appears once under the running-sum branch and
+    # once under the per-slice offsets branch; the interval side must never
+    # nested-loop the events
+    assert plan.count("BroadcastNestedLoopJoin") == 2
