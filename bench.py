@@ -118,7 +118,11 @@ def mini_probe(spark) -> float:
     return time.perf_counter() - t0
 
 
-MINI_PROBE_GOOD_S = HOST_CONTROL_GOOD_S / 4.0
+# Calibrated solo (r6, big probe at its 0.45s good-day): the quarter-size
+# job runs at ~half the per-row efficiency of the 1e9 probe (fixed job
+# overhead amortizes worse), so its good-day is ~0.22s — NOT good_s/4.
+# Deriving it by division overstated probe_factor ~2x in early r6 artifacts.
+MINI_PROBE_GOOD_S = 0.22
 
 
 def time_query(spark, fn, sf_dir: str) -> tuple[float, dict]:
