@@ -1292,15 +1292,12 @@ def _replayed_table(spark, sf_dir, n_chunks=_REPLAY_CHUNKS, mutate=None):
             batch = mutate(batch, i)
         app.apply_batch(batch, epoch_id=i)
     if mutate is None:
-        import shutil
-
         while len(_REPLAY_CACHE) >= _REPLAY_CACHE_MAX:
-            _, old_root = _REPLAY_CACHE.pop(next(iter(_REPLAY_CACHE)))
-            # the root is process-private (mkdtemp above) — reclaim it now
-            # rather than only at exit, and drop it from the atexit list
-            shutil.rmtree(old_root, ignore_errors=True)
-            if old_root in _REPLAY_TMPDIRS:
-                _REPLAY_TMPDIRS.remove(old_root)
+            # evict the cache ENTRY but leave its files for the atexit reap
+            # (_REPLAY_TMPDIRS still tracks the root): a caller may hold a
+            # lazy DataFrame over the evicted table — deleting the parquet
+            # under it would fail that DataFrame's later materialization
+            _REPLAY_CACHE.pop(next(iter(_REPLAY_CACHE)))
         _REPLAY_CACHE[cache_key] = (tbl, root)
     return tbl
 

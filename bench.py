@@ -122,7 +122,10 @@ def mini_probe(spark) -> float:
 # job runs at ~half the per-row efficiency of the 1e9 probe (fixed job
 # overhead amortizes worse), so its good-day is ~0.22s — NOT good_s/4.
 # Deriving it by division overstated probe_factor ~2x in early r6 artifacts.
-MINI_PROBE_GOOD_S = 0.22
+# Env-overridable alongside SPARK_GRAFT_HOST_GOOD_S: a host that recalibrates
+# the big probe must recalibrate this one too, or every per-query
+# probe_factor gates against the wrong ceiling.
+MINI_PROBE_GOOD_S = float(os.environ.get("SPARK_GRAFT_MINI_GOOD_S", "0.22"))
 
 
 def time_query(spark, fn, sf_dir: str) -> tuple[float, dict]:
@@ -787,6 +790,9 @@ def main():
                 "metric": "change-events/sec applied (end-to-end merge replay) + headline query wall time",
                 "value": round(total, 3),
                 "unit": "sec",
+                # the headline set GROWS across rounds (scale twins added in
+                # r6): compare per-query rows, not totals, across artifacts
+                "n_headline_queries": len(HEADLINE),
                 "queries": per_query,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "merge_throughput": merge,

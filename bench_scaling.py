@@ -576,10 +576,12 @@ hash-aggregate shuffle) covers only buckets that hold delta files, and
 compacted buckets ride a Union branch around it as plain scans
 (`lake/table.py:_split_snapshot_files`, plan pinned in
 `tests/test_plan_shapes.py`).  Measured effect: at the same per-bucket
-delta depth, the 1-dirty-bucket read sits near the post-compact floor
-while the every-bucket-dirty read costs multiples of it — at 100 TB this
-is the difference between re-shuffling the table per read and
-re-shuffling the working set.
+delta depth the 1-dirty-bucket read costs ~half the every-bucket-dirty
+read (0.58s vs 1.18s at depth 16, r6); the residual over the compacted
+floor is the dirty bucket's own delta volume — the fold's cost now
+tracks the DIRTY DATA volume, not the table width.  At 100 TB this is
+the difference between re-shuffling the table per read and re-shuffling
+the working set.
 
 ## Microbatch commit latency (poll-cadence evidence)
 

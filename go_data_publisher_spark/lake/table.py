@@ -87,10 +87,16 @@ def _footer_stats(path: str, order_col: str, del_col: str | None = None):
     a commit write ONE file per touched bucket instead of a
     partitionBy-(bucket, is-delete) pair while keeping exact per-op lineage
     counters.  n_deletes is 0 when ``del_col`` is absent from the file's
-    schema entirely (a file with no marker column carries no tombstones),
-    and None only when the column EXISTS but a row group lacks a null count
-    — the one case where the caller's fallback column scan is both needed
-    and guaranteed not to raise."""
+    schema entirely, and None only when the column EXISTS but a row group
+    lacks a null count — the one case where the caller's fallback column
+    scan is both needed and guaranteed not to raise.
+
+    Scope caveat: absent-column-means-zero only holds for MERGE-written
+    delta files, which always carry the marker column.  compact()-written
+    base files drop ``del_col`` yet RETAIN op='D' tombstone rows — a caller
+    wanting the delete split of a base file must count op='D' instead of
+    trusting this 0 (today's callers — the merge commit and bench.py's
+    driver-phase re-measure — read fresh delta commits, where it holds)."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata

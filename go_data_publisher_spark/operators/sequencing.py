@@ -172,23 +172,30 @@ def interval_stab_count(events: DataFrame, intervals: DataFrame,
     )
     local = parted.withColumn("__local", F.sum("__delta").over(w_in))
     # per-slice totals: ≤ n_parts rows — the single-partition window here is
-    # O(n_parts), not O(rows) (same stitch as verify_monotonic)
+    # O(n_parts), not O(rows) (same stitch as verify_monotonic).  Aggregated
+    # from `local` (not `parted`) so the offsets subtree shares the
+    # running-sum branch's exchange (ReusedExchange) instead of re-scanning
+    # events + intervals a second time.
     w_parts = (
         Window.orderBy("__part")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = (
-        parted.groupBy("__part").agg(F.sum("__delta").alias("__psum"))
+        local.groupBy("__part").agg(F.sum("__delta").alias("__psum"))
         .withColumn("__offset", F.coalesce(F.sum("__psum").over(w_parts), F.lit(0)))
         .select("__part", "__offset")
     )
+    # left + coalesce: an event with a NULL position (null lsn) sits in the
+    # null slice, matches no interval by SQL semantics, and must surface
+    # with n_containing = 0 — a null join key never matches, so an inner
+    # join would silently drop the row instead
     out = (
-        local.join(F.broadcast(offsets), "__part")
+        local.join(F.broadcast(offsets), "__part", "left")
         .where(F.col("__tag") == 1)
         .select(
             *[F.col("__ev")[c].alias(c) for c in events.columns],
-            (F.col("__local") + F.col("__offset")).cast("long")
-            .alias("n_containing"),
+            (F.col("__local") + F.coalesce(F.col("__offset"), F.lit(0)))
+            .cast("long").alias("n_containing"),
         )
     )
     return out

@@ -40,9 +40,35 @@ def build_status(tbl) -> dict:
     }
 
 
+def lineage_raw_totals(spark, lineage_dir: str) -> dict:
+    """ONE Spark aggregation over the lineage feed, shared by /report and
+    /metrics (each used to run its own, with drift-prone twin logic):
+    per-epoch sums of the per-bucket counters, with rows_quarantined taken
+    once per epoch (it is an epoch-level count replicated into every
+    per-bucket row — quarantined rows never reach a bucket), then summed
+    across epochs.  Sums are None over an empty feed — the distinction
+    /report's ``rows_upserted_total`` preserves; /metrics coalesces to 0."""
+    from .schemas import LINEAGE_SCHEMA
+
+    lin = spark.read.schema(LINEAGE_SCHEMA).json(lineage_dir)
+    row = lin.groupBy("epoch_id").agg(
+        F.sum("rows_upserted").alias("u"),
+        F.sum("rows_deleted").alias("d"),
+        F.max("rows_quarantined").alias("q"),
+    ).agg(F.sum("u"), F.sum("d"), F.sum("q"), F.count("*")).first()
+    return {"epochs": row[3] or 0, "upserted": row[0],
+            "deleted": row[1], "quarantined": row[2]}
+
+
 def build_report(spark, tbl, lineage_dir: str | None = None,
-                 quarantine_dir: str | None = None) -> dict:
-    """The full progress/intervals/gaps document (S10/Q7/Q8/A3 composed)."""
+                 quarantine_dir: str | None = None,
+                 lineage_totals: dict | None = None) -> dict:
+    """The full progress/intervals/gaps document (S10/Q7/Q8/A3 composed).
+
+    ``lineage_totals``: a precomputed ``lineage_raw_totals`` result (the
+    ReportServer passes its TTL-cached one so /report and /metrics share a
+    single lineage aggregation per window); when absent and ``lineage_dir``
+    holds data, the totals are computed here."""
     from .operators.sequencing import detect_gaps, group_intervals
 
     m = tbl.manifest()
@@ -71,14 +97,10 @@ def build_report(spark, tbl, lineage_dir: str | None = None,
         # exist yet either (ChangeApplier only creates it on the first
         # applied batch), and a schema'd read of a missing path raises
         # PATH_NOT_FOUND — so the fresh-pipeline report zeroes the fields.
-        from .schemas import LINEAGE_SCHEMA
-
         if os.path.isdir(lineage_dir):
-            lin = spark.read.schema(LINEAGE_SCHEMA).json(lineage_dir)
-            report["lineage_epochs"] = (
-                lin.select("epoch_id").distinct().count())
-            report["rows_upserted_total"] = (
-                lin.agg(F.sum("rows_upserted")).first()[0])
+            totals = lineage_totals or lineage_raw_totals(spark, lineage_dir)
+            report["lineage_epochs"] = totals["epochs"]
+            report["rows_upserted_total"] = totals["upserted"]
         else:
             report["lineage_epochs"] = 0
             report["rows_upserted_total"] = None
@@ -233,6 +255,12 @@ class ReportServer:
         self._report_cache: tuple[float, dict] | None = None
         self._lineage_cache: tuple[float, dict] | None = None
         self._report_lock = threading.Lock()
+        # the lineage totals get their OWN lock: a /metrics scrape must not
+        # queue behind a slow multi-job /report build just because both
+        # consult the lineage cache (a blocked scrape = gaps in every
+        # exported series); lock order is report → lineage only, never the
+        # reverse, so the pair cannot deadlock
+        self._lineage_lock = threading.Lock()
         # Threading: /healthz and /status (no Spark job) must answer while a
         # slow /report (several Spark jobs) is in flight, or a liveness
         # probe flaps unhealthy exactly when the service is doing normal
@@ -257,57 +285,53 @@ class ReportServer:
                     and now - self._report_cache[0] < self.report_ttl_seconds):
                 return self._report_cache[1]
             body = build_report(self.spark, self.tbl,
-                                lineage_dir=self.lineage_dir)
+                                lineage_dir=self.lineage_dir,
+                                lineage_totals=self._lineage_totals())
             self.report_builds += 1
             self._report_cache = (time.monotonic(), body)
             return body
 
-    def _metrics_text(self) -> str:
-        """/metrics body: manifest gauges are recomputed every scrape (O(1)
-        read, no Spark); the lineage totals ride the same TTL discipline as
-        /report — at most one Spark aggregation per window, shared across
-        concurrent scrapes via the report lock."""
+    def _lineage_totals(self) -> dict | None:
+        """TTL-cached ``lineage_raw_totals`` shared by /report and /metrics:
+        at most ONE lineage aggregation per window regardless of which
+        endpoint triggers it, and both endpoints read the same numbers."""
         import time
 
-        lineage_totals = None
-        if self.lineage_dir and os.path.isdir(self.lineage_dir):
-            with self._report_lock:
-                now = time.monotonic()
-                if (self._lineage_cache is not None
-                        and now - self._lineage_cache[0] < self.report_ttl_seconds):
-                    lineage_totals = self._lineage_cache[1]
-                else:
-                    from .schemas import LINEAGE_SCHEMA
+        if not (self.lineage_dir and os.path.isdir(self.lineage_dir)):
+            return None
+        with self._lineage_lock:
+            now = time.monotonic()
+            if (self._lineage_cache is not None
+                    and now - self._lineage_cache[0] < self.report_ttl_seconds):
+                return self._lineage_cache[1]
+            totals = lineage_raw_totals(self.spark, self.lineage_dir)
+            self.lineage_builds += 1
+            self._lineage_cache = (time.monotonic(), totals)
+            return totals
 
-                    lin = self.spark.read.schema(LINEAGE_SCHEMA).json(
-                        self.lineage_dir)
-                    # rows_quarantined is an EPOCH-level count replicated
-                    # into every per-bucket row (quarantined rows never
-                    # reach a bucket, so there is no per-partition split) —
-                    # take it once per epoch, then sum epochs
-                    row = lin.groupBy("epoch_id").agg(
-                        F.sum("rows_upserted").alias("u"),
-                        F.sum("rows_deleted").alias("d"),
-                        F.max("rows_quarantined").alias("q"),
-                    ).agg(F.sum("u"), F.sum("d"), F.sum("q"),
-                          F.count("*")).first()
-                    lineage_totals = {
-                        "rows_upserted_total":
-                            ("Rows upserted across all committed epochs",
-                             row[0] or 0),
-                        "rows_deleted_total":
-                            ("Rows deleted across all committed epochs",
-                             row[1] or 0),
-                        "rows_quarantined_total":
-                            ("Rows quarantined by the validity guard",
-                             row[2] or 0),
-                        "lineage_epochs":
-                            ("Distinct epochs with lineage records",
-                             row[3] or 0),
-                    }
-                    self.lineage_builds += 1
-                    self._lineage_cache = (time.monotonic(), lineage_totals)
-        return build_metrics_text(self.tbl, lineage_totals=lineage_totals)
+    def _metrics_text(self) -> str:
+        """/metrics body: manifest gauges are recomputed every scrape (O(1)
+        read, no Spark); the lineage totals ride the shared TTL cache — a
+        scrape never waits on a /report build, only (worst case) on one
+        in-flight lineage aggregation."""
+        totals = self._lineage_totals()
+        gauges = None
+        if totals is not None:
+            gauges = {
+                "rows_upserted_total":
+                    ("Rows upserted across all committed epochs",
+                     totals["upserted"] or 0),
+                "rows_deleted_total":
+                    ("Rows deleted across all committed epochs",
+                     totals["deleted"] or 0),
+                "rows_quarantined_total":
+                    ("Rows quarantined by the validity guard",
+                     totals["quarantined"] or 0),
+                "lineage_epochs":
+                    ("Distinct epochs with lineage records",
+                     totals["epochs"] or 0),
+            }
+        return build_metrics_text(self.tbl, lineage_totals=gauges)
 
     def start(self) -> None:
         import threading

@@ -414,6 +414,14 @@ class ChangeApplier:
 
         os.makedirs(self.lineage_dir, exist_ok=True)
         now = time.strftime("%Y-%m-%dT%H:%M:%S")
+        if not per_bucket_rows and n_q:
+            # a batch whose EVERY row was quarantined touches no bucket, but
+            # its quarantine count must still reach the lineage feed (the
+            # /metrics quarantine gauge exists precisely for poisoned
+            # batches): one sentinel row, partition_id = -1 ("no bucket")
+            per_bucket_rows = [{"__bucket": -1, "lsn_from": None,
+                                "lsn_to": None, "rows_upserted": 0,
+                                "rows_deleted": 0}]
         with open(f"{self.lineage_dir}/epoch-{int(epoch_id):012d}.json", "w") as f:
             for r in per_bucket_rows:
                 f.write(

@@ -138,7 +138,7 @@ def test_interval_stab_count_matches_bruteforce(spark):
     from go_data_publisher_spark.operators.sequencing import interval_stab_count
 
     ev = spark.createDataFrame(
-        [(i,) for i in [0, 1, 5, 10, 11, 15, 20, 99]], "lsn long")
+        [(i,) for i in [0, 1, 5, 10, 11, 15, 20, 99, None]], "lsn long")
     iv = spark.createDataFrame(
         [(1, 10), (5, 15), (10, 10), (16, 19), (30, 40), (7, 3), (None, 9)],
         "from_lsn long, to_lsn long")

@@ -342,3 +342,47 @@ def test_report_skips_quarantine_section_without_fs_root(spark, small_table):
     report = build_report(spark, NoRootTable())
     assert report["rows"] == 12
     assert "rows_skipped_total" not in report
+
+
+def test_fully_quarantined_batch_reaches_metrics(spark, small_table):
+    """A batch whose EVERY row fails validity touches no bucket, so it used
+    to write an empty lineage epoch file and its quarantine count silently
+    vanished from /metrics — the poisoned-batch case the quarantine gauge
+    exists to surface.  The writer now emits one partition_id=-1 sentinel
+    row carrying the epoch's count."""
+    import glob
+    import json as _json
+
+    tbl, lineage = small_table
+    app = ChangeApplier(tbl, lineage_dir=lineage,
+                        quarantine_dir=f"{tbl.root}/_quarantine")
+    out = app.apply_batch(spark.createDataFrame(
+        [(41, "I", None, 7, "user", "bad1", None, None, 1),
+         (42, "X", "c9", 7, "user", "bad2", None, None, 1)],
+        SCHEMA), epoch_id=1)
+    assert out["rows_quarantined"] == 2
+    assert out.get("touched_buckets") in ([], None) or not out["touched_buckets"]
+
+    recs = [_json.loads(line)
+            for f in glob.glob(f"{lineage}/*.json")
+            for line in open(f) if line.strip()]
+    sentinel = [r for r in recs if r["epoch_id"] == 1]
+    assert len(sentinel) == 1
+    assert sentinel[0]["partition_id"] == -1
+    assert sentinel[0]["rows_quarantined"] == 2
+    assert sentinel[0]["rows_upserted"] == 0
+
+    srv = ReportServer(spark, tbl, port=0, lineage_dir=lineage)
+    srv.start()
+    try:
+        st, _ctype, text = _get_text(srv.port, "/metrics")
+        st2, report = _get(srv.port, "/report")
+    finally:
+        srv.shutdown()
+    assert st == 200 and st2 == 200
+    vals = _parse_prom(text)
+    assert vals["gdps_rows_quarantined_total"] == 2
+    assert vals["gdps_lineage_epochs"] == 2
+    # /report shares the same single lineage aggregation per TTL window
+    assert report["lineage_epochs"] == 2
+    assert srv.lineage_builds == 1
