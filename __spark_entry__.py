@@ -1350,6 +1350,26 @@ SQL_CDC_ENGINE_REPLAY = f"""
 """
 
 
+def q_cdc_point_lookup(spark, sf_dir):
+    """S2/S3 point lookup served from the replayed CDC table: every
+    committed turn of ONE conversation via ``TranscriptTable.lookup`` — the
+    key hashes to a single bucket, so the read touches one bucket's files
+    with the key equality pushed into the pruned scan (lake/table.py:lookup;
+    plan pinned in tests/test_plan_shapes.py).  Reference semantics: the
+    per-tick transactions scan (transactions-producer/external/archiver/
+    client.go:33-45) and the one-row TickData read (tick-data-publisher/
+    archiver/client.go:57-77), served from committed state like the
+    status-service read-back."""
+    tbl = _replayed_table(spark, sf_dir)
+    return tbl.lookup("7").select(
+        "conv_id", "turn_idx", "text", F.col("lsn").alias("last_lsn"))
+
+
+SQL_CDC_POINT_LOOKUP = f"""
+  SELECT * FROM ({SQL_CDC_ENGINE_REPLAY}) WHERE conv_id = '7'
+"""
+
+
 def q_cdc_schema_evolution(spark, sf_dir):
     """Live schema evolution through the driver gate (new in r5): chunks 0-1
     arrive with the base 8-column schema, chunks 2-3 add a ``lang`` column —
@@ -1486,6 +1506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_final_state": q_cdc_final_state,
         "cdc_final_state_salted": q_cdc_final_state_salted,
         "cdc_engine_replay": q_cdc_engine_replay,
+        "cdc_point_lookup": q_cdc_point_lookup,
         "cdc_time_travel": q_cdc_time_travel,
         "cdc_schema_evolution": q_cdc_schema_evolution,
         "cdc_changefeed": q_cdc_changefeed,
@@ -1541,6 +1562,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_final_state": SQL_CDC_FINAL_STATE,
         "cdc_final_state_salted": SQL_CDC_FINAL_STATE,
         "cdc_engine_replay": SQL_CDC_ENGINE_REPLAY,
+        "cdc_point_lookup": SQL_CDC_POINT_LOOKUP,
         "cdc_time_travel": SQL_CDC_TIME_TRAVEL,
         "cdc_schema_evolution": SQL_CDC_SCHEMA_EVOLUTION,
         "cdc_changefeed": SQL_CDC_CHANGEFEED,

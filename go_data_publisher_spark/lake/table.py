@@ -679,6 +679,39 @@ class TranscriptTable:
             return out.select(*out_cols, "op")
         return out.where(F.col("op") != "D").select(*out_cols)
 
+    def bucket_of(self, key_value) -> int:
+        """The bucket the partition transform assigns ``key_value`` — the
+        SAME expression the writer buckets with (``bucket_expr``), evaluated
+        on a 1-row frame so a Python re-implementation of xxhash64 can never
+        drift from the JVM's."""
+        row = self.spark.createDataFrame(
+            [(key_value,)], T.StructType([self.schema[self.key[0]]])
+        ).select(bucket_expr(self.key[0], self.n_buckets).alias("b")).first()
+        return int(row["b"])
+
+    def lookup(self, key_value, second=None, version: int | None = None) -> DataFrame:
+        """S2/S3 point lookup served from the table: all committed rows for
+        one primary-key value (the reference's per-tick transactions scan,
+        transactions-producer/external/archiver/client.go:33-45), or the
+        single row when ``second`` pins the rest of the compound key (the
+        one-row TickData read, tick-data-publisher/archiver/client.go:57-77).
+
+        Scale shape: the key hashes to exactly one bucket, so the read is
+        ``snapshot(buckets=[b])`` — O(one bucket's files), never a table
+        scan — and Catalyst pushes the key equality into that pruned scan
+        (visible as PushedFilters).  On a compacted bucket this is a plain
+        one-file predicate-pushdown read; on a dirty bucket the merge-on-
+        read fold covers just that bucket."""
+        b = self.bucket_of(key_value)
+        out = self.snapshot(buckets=[b], version=version).where(
+            F.col(self.key[0]) == F.lit(key_value)
+        )
+        if second is not None:
+            if len(self.key) < 2:
+                raise ValueError("second= given but the table key is single-column")
+            out = out.where(F.col(self.key[1]) == F.lit(second))
+        return out
+
     @staticmethod
     def _writer_state(m: dict, writer_id: str) -> tuple[int, set]:
         """(hwm, recent) for one writer.  The legacy top-level fields ARE the

@@ -180,7 +180,8 @@ class ReportServer:
     Routes: ``/healthz`` (constant), ``/status`` (manifest fast path),
     ``/metrics`` (Prometheus text format: manifest gauges + TTL-cached
     lineage totals), ``/history`` (retained snapshot log), ``/report``
-    (full document, runs Spark jobs).  Threaded: the cheap routes answer
+    (full document, runs Spark jobs), ``/row?key=<v>[&second=<v>]``
+    (bucket-pruned point lookup, S2/S3).  Threaded: the cheap routes answer
     while a slow /report is
     in flight; one Spark session is shared (job submission is thread-safe).
     The driver is still not a web worker pool — put a cache/proxy in front
@@ -223,6 +224,8 @@ class ReportServer:
                         status, body = 200, {"history": outer.tbl.history()}
                     elif self.path == "/report":
                         status, body = 200, outer._cached_report()
+                    elif self.path.startswith("/row?"):
+                        status, body = outer._lookup(self.path)
                     else:
                         status, body = 404, {"error": "not found"}
                 except Exception as exc:  # surface as 500, keep serving
@@ -308,6 +311,44 @@ class ReportServer:
             self.lineage_builds += 1
             self._lineage_cache = (time.monotonic(), totals)
             return totals
+
+    _LOOKUP_LIMIT = 1000
+
+    def _lookup(self, path: str) -> tuple[int, dict]:
+        """``/row?key=<v>[&second=<v>]`` — the reference's per-tick
+        transactions / single-TickData reads (S2/S3) served over HTTP from
+        the committed table via the bucket-pruned ``TranscriptTable.lookup``
+        (one bucket's files, key equality pushed into the scan).  ``second``
+        is coerced to the second key column's type when it is integral (URL
+        query params arrive as strings)."""
+        from urllib.parse import parse_qs, urlparse
+
+        import pyspark.sql.types as T
+
+        def coerce(col_name: str, raw: str):
+            dt = self.tbl.schema[col_name].dataType
+            if isinstance(dt, (T.IntegerType, T.LongType, T.ShortType)):
+                return int(raw)  # ValueError → 400 below
+            return raw
+
+        q = parse_qs(urlparse(path).query)
+        if "key" not in q:
+            return 400, {"error": "missing key= parameter"}
+        try:
+            key_value = coerce(self.tbl.key[0], q["key"][0])
+            second = q.get("second", [None])[0]
+            if second is not None:
+                second = coerce(self.tbl.key[1], second)
+        except ValueError as exc:
+            return 400, {"error": f"non-integral value for integral key "
+                                  f"column: {exc}"}
+        rows = (self.tbl.lookup(key_value, second=second)
+                .limit(self._LOOKUP_LIMIT + 1).collect())
+        truncated = len(rows) > self._LOOKUP_LIMIT
+        return 200, {
+            "rows": [r.asDict() for r in rows[: self._LOOKUP_LIMIT]],
+            "truncated": truncated,
+        }
 
     def _metrics_text(self) -> str:
         """/metrics body: manifest gauges are recomputed every scrape (O(1)

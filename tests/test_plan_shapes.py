@@ -261,3 +261,44 @@ def test_stab_count_plan_enumerates_no_pairs(spark):
     # once under the per-slice offsets branch; the interval side must never
     # nested-loop the events
     assert plan.count("BroadcastNestedLoopJoin") == 2
+
+
+def test_lookup_reads_one_bucket_with_pushed_filter(spark, tmpdir_path):
+    """TranscriptTable.lookup must be a single-bucket read (file pruning via
+    the manifest, NOT a filtered table scan) with the key equality pushed
+    down into the parquet scan."""
+    from go_data_publisher_spark.lake.table import TranscriptTable
+    from go_data_publisher_spark.streaming.apply import ChangeApplier
+
+    tbl = TranscriptTable(spark, f"{tmpdir_path}/t", n_buckets=8)
+    log = generate_changelog(spark, 2000, seed=19).where(
+        "conv_id is not null and turn_idx is not null")
+    ChangeApplier(tbl).apply_batch(log, epoch_id=0)
+    tbl.compact()
+
+    conv = log.select("conv_id").first()["conv_id"]
+    b = tbl.bucket_of(conv)
+    out = tbl.lookup(conv)
+
+    # file pruning: only the key's bucket is read
+    def norm(p):  # inputFiles returns file:// URIs; the manifest raw paths
+        return p.removeprefix("file://")
+
+    expected_files = {f["path"] for f in tbl.manifest()["files"]
+                      if f["bucket"] == b}
+    assert {norm(p) for p in out.inputFiles()} <= expected_files
+    assert len(out.inputFiles()) < len(tbl.manifest()["files"])
+    # predicate pushdown into the pruned scan
+    plan = _plan(out)
+    assert "PushedFilters" in plan and "IsNotNull(conv_id)" in plan
+
+    # correctness: equals the full-snapshot filter
+    cols = out.columns
+    got = sorted(map(tuple, out.select(*cols).collect()))
+    want = sorted(map(tuple, tbl.snapshot().where(
+        F.col("conv_id") == conv).select(*cols).collect()))
+    assert got == want and got
+    # compound-key form pins to one row
+    ti = got[0][cols.index("turn_idx")]
+    one = tbl.lookup(conv, second=ti).collect()
+    assert len(one) == 1

@@ -386,3 +386,43 @@ def test_fully_quarantined_batch_reaches_metrics(spark, small_table):
     # /report shares the same single lineage aggregation per TTL window
     assert report["lineage_epochs"] == 2
     assert srv.lineage_builds == 1
+
+
+def test_row_route_serves_bucket_pruned_point_lookup(spark, small_table):
+    """/row?key=...&second=... — the reference's S2/S3 point reads served
+    from the committed table (per-tick transactions scan / one-row TickData
+    read) via the bucket-pruned lookup."""
+    tbl, lineage = small_table
+    srv = ReportServer(spark, tbl, port=0, lineage_dir=lineage)
+    srv.start()
+    try:
+        st, body = _get(srv.port, "/row?key=c1")
+        assert st == 200 and not body["truncated"]
+        assert body["rows"] and all(r["conv_id"] == "c1" for r in body["rows"])
+        want = sorted((r["conv_id"], r["turn_idx"]) for r in body["rows"])
+        have = sorted(map(tuple, tbl.snapshot().where("conv_id = 'c1'")
+                          .select("conv_id", "turn_idx").collect()))
+        assert want == have
+
+        ti = body["rows"][0]["turn_idx"]
+        st2, one = _get(srv.port, f"/row?key=c1&second={ti}")
+        assert st2 == 200 and len(one["rows"]) == 1
+        assert one["rows"][0]["turn_idx"] == ti
+
+        import urllib.error
+        import urllib.request
+
+        def get_status(path):
+            try:
+                with urllib.request.urlopen(
+                        f"http://127.0.0.1:{srv.port}{path}", timeout=30) as r:
+                    return r.status
+            except urllib.error.HTTPError as e:
+                return e.code
+
+        assert get_status("/row?nope=1") == 400
+        assert get_status("/row?key=c1&second=notanint") == 400
+        st5, empty = _get(srv.port, "/row?key=zzz-no-such-conv")
+        assert st5 == 200 and empty["rows"] == []
+    finally:
+        srv.shutdown()
