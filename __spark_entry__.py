@@ -1235,8 +1235,15 @@ _REPLAY_CACHE_MAX = 4       # (session, sf_dir) pairs a process realistically
                             # cycles through; beyond that evict oldest so a
                             # long-lived driver can't pin sessions/tmp tables
 _REPLAY_TMPDIRS: list = []  # every mkdtemp root this module created (cached
-                            # or not) — reaped at process exit so a
-                            # long-lived driver doesn't leak replay tables
+                            # or not), in creation order — reaped at process
+                            # exit, and trimmed to the newest
+                            # _REPLAY_ROOT_KEEP along the way so a driver
+                            # cycling many keys can't exhaust /tmp
+_REPLAY_ROOT_KEEP = 8       # > _REPLAY_CACHE_MAX, so a root still referenced
+                            # by the cache is never trimmed; roots older than
+                            # the last 8 creations have been evicted for ≥4
+                            # cache turnovers — no live handle plausibly
+                            # remains
 
 
 def _reap_replay_tmpdirs() -> None:
@@ -1282,6 +1289,14 @@ def _replayed_table(spark, sf_dir, n_chunks=_REPLAY_CHUNKS, mutate=None):
     )
     root = tempfile.mkdtemp(prefix="cdc_entry_")
     _REPLAY_TMPDIRS.append(root)
+    while len(_REPLAY_TMPDIRS) > _REPLAY_ROOT_KEEP:
+        # bounded keep-last-N: old roots are ≥4 cache turnovers past their
+        # eviction (see _REPLAY_ROOT_KEEP) — reclaim them now so a driver
+        # cycling many (session, sf_dir, n_chunks) keys can't fill /tmp,
+        # while freshly evicted roots stay alive for any held DataFrame
+        import shutil
+
+        shutil.rmtree(_REPLAY_TMPDIRS.pop(0), ignore_errors=True)
     tbl = TranscriptTable(spark, f"{root}/tbl", n_buckets=8)
     app = ChangeApplier(tbl)
     lo, hi = log.agg(F.min("lsn"), F.max("lsn")).first()

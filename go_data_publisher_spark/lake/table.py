@@ -679,15 +679,28 @@ class TranscriptTable:
             return out.select(*out_cols, "op")
         return out.where(F.col("op") != "D").select(*out_cols)
 
+    _BUCKET_MEMO_MAX = 4096
+
     def bucket_of(self, key_value) -> int:
         """The bucket the partition transform assigns ``key_value`` — the
         SAME expression the writer buckets with (``bucket_expr``), evaluated
         on a 1-row frame so a Python re-implementation of xxhash64 can never
-        drift from the JVM's."""
+        drift from the JVM's.  The mapping is pure and ``n_buckets`` is
+        fixed at construction, so results are memoized (bounded) — under
+        point-lookup traffic the probe job runs once per DISTINCT key, not
+        per request."""
+        memo = getattr(self, "_bucket_memo", None)
+        if memo is None:
+            memo = self._bucket_memo = {}
+        if key_value in memo:
+            return memo[key_value]
         row = self.spark.createDataFrame(
             [(key_value,)], T.StructType([self.schema[self.key[0]]])
         ).select(bucket_expr(self.key[0], self.n_buckets).alias("b")).first()
-        return int(row["b"])
+        if len(memo) >= self._BUCKET_MEMO_MAX:
+            memo.clear()
+        memo[key_value] = int(row["b"])
+        return memo[key_value]
 
     def lookup(self, key_value, second=None, version: int | None = None) -> DataFrame:
         """S2/S3 point lookup served from the table: all committed rows for

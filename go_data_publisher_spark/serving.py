@@ -287,24 +287,32 @@ class ReportServer:
             if (self._report_cache is not None
                     and now - self._report_cache[0] < self.report_ttl_seconds):
                 return self._report_cache[1]
+            # force a FRESH lineage aggregation for a fresh report: the
+            # document's manifest/row fields are computed NOW, so pairing
+            # them with a lineage total cached up to a TTL ago would serve
+            # an internally inconsistent document (lineage_epochs behind
+            # epoch_hwm in the SAME response).  The refreshed totals land in
+            # the shared cache, so /metrics scrapes ride this build too.
             body = build_report(self.spark, self.tbl,
                                 lineage_dir=self.lineage_dir,
-                                lineage_totals=self._lineage_totals())
+                                lineage_totals=self._lineage_totals(force=True))
             self.report_builds += 1
             self._report_cache = (time.monotonic(), body)
             return body
 
-    def _lineage_totals(self) -> dict | None:
+    def _lineage_totals(self, force: bool = False) -> dict | None:
         """TTL-cached ``lineage_raw_totals`` shared by /report and /metrics:
         at most ONE lineage aggregation per window regardless of which
-        endpoint triggers it, and both endpoints read the same numbers."""
+        endpoint triggers it, and both endpoints read the same numbers.
+        ``force`` bypasses the freshness check (still refreshing the shared
+        cache) — used by the report build for document coherence."""
         import time
 
         if not (self.lineage_dir and os.path.isdir(self.lineage_dir)):
             return None
         with self._lineage_lock:
             now = time.monotonic()
-            if (self._lineage_cache is not None
+            if (not force and self._lineage_cache is not None
                     and now - self._lineage_cache[0] < self.report_ttl_seconds):
                 return self._lineage_cache[1]
             totals = lineage_raw_totals(self.spark, self.lineage_dir)
@@ -331,12 +339,21 @@ class ReportServer:
                 return int(raw)  # ValueError → 400 below
             return raw
 
-        q = parse_qs(urlparse(path).query)
-        if "key" not in q:
+        # keep_blank_values: `second=` (client interpolated an unset
+        # variable) must be a 400, not a silently ignored parameter that
+        # returns every row of the key
+        q = parse_qs(urlparse(path).query, keep_blank_values=True)
+        if "key" not in q or q["key"][0] == "":
             return 400, {"error": "missing key= parameter"}
+        second = q.get("second", [None])[0]
+        if second is not None:
+            if second == "":
+                return 400, {"error": "second= given without a value"}
+            if len(self.tbl.key) < 2:
+                return 400, {"error": "second= given but the table key is "
+                                      "single-column"}
         try:
             key_value = coerce(self.tbl.key[0], q["key"][0])
-            second = q.get("second", [None])[0]
             if second is not None:
                 second = coerce(self.tbl.key[1], second)
         except ValueError as exc:

@@ -414,11 +414,13 @@ class ChangeApplier:
 
         os.makedirs(self.lineage_dir, exist_ok=True)
         now = time.strftime("%Y-%m-%dT%H:%M:%S")
-        if not per_bucket_rows and n_q:
-            # a batch whose EVERY row was quarantined touches no bucket, but
-            # its quarantine count must still reach the lineage feed (the
-            # /metrics quarantine gauge exists precisely for poisoned
-            # batches): one sentinel row, partition_id = -1 ("no bucket")
+        if not per_bucket_rows:
+            # a committed epoch that touched no bucket — every row
+            # quarantined (the poisoned batch the /metrics quarantine gauge
+            # exists for) or an entirely empty microbatch (idle source) —
+            # must still appear in the lineage feed, or lineage_epochs
+            # falls behind epoch_hwm and monitors alert on the divergence:
+            # one sentinel row, partition_id = -1 ("no bucket")
             per_bucket_rows = [{"__bucket": -1, "lsn_from": None,
                                 "lsn_to": None, "rows_upserted": 0,
                                 "rows_deleted": 0}]

@@ -383,9 +383,11 @@ def test_fully_quarantined_batch_reaches_metrics(spark, small_table):
     vals = _parse_prom(text)
     assert vals["gdps_rows_quarantined_total"] == 2
     assert vals["gdps_lineage_epochs"] == 2
-    # /report shares the same single lineage aggregation per TTL window
+    # /report shares the lineage cache but forces a FRESH aggregation for
+    # its own build (document coherence), so: one build for the scrape,
+    # one forced by the report
     assert report["lineage_epochs"] == 2
-    assert srv.lineage_builds == 1
+    assert srv.lineage_builds == 2
 
 
 def test_row_route_serves_bucket_pruned_point_lookup(spark, small_table):
