@@ -10,8 +10,10 @@ types are aligned pair-by-pair (ints cast to BIGINT, doubles rounded).
 Every entry in ``queries()`` has a DuckDB oracle in ``oracle_sql()`` —
 including the LSH/MinHash/SimHash families, whose hash functions were
 re-derived over md5 so DuckDB reproduces the bucketing itself
-(``md5_number_lower``).  As of round 5 the driver records 46/46 entries
-passing rows + schema + value-hash; there are no rows-only entries left.
+(``md5_number_lower``).  Every entry passes rows + schema + value-hash
+against its oracle (46/46 in the round-5 driver record; round 6 adds the
+salted/stab scale twins and the point lookup, all oracled the same way —
+there are no rows-only entries).
 """
 
 from __future__ import annotations
