@@ -1291,14 +1291,22 @@ def _replayed_table(spark, sf_dir, n_chunks=_REPLAY_CHUNKS, mutate=None):
     )
     root = tempfile.mkdtemp(prefix="cdc_entry_")
     _REPLAY_TMPDIRS.append(root)
+    live = {r for (_t, r) in _REPLAY_CACHE.values()}
     while len(_REPLAY_TMPDIRS) > _REPLAY_ROOT_KEEP:
-        # bounded keep-last-N: old roots are ≥4 cache turnovers past their
+        # bounded keep-last-N: old roots are many creations past their
         # eviction (see _REPLAY_ROOT_KEEP) — reclaim them now so a driver
         # cycling many (session, sf_dir, n_chunks) keys can't fill /tmp,
-        # while freshly evicted roots stay alive for any held DataFrame
+        # while freshly evicted roots stay alive for any held DataFrame.
+        # A root the cache still references is NEVER trimmed: mutated
+        # (uncached) replays also append here, so age order alone does not
+        # guarantee the oldest root left the cache.
+        oldest = next((r for r in _REPLAY_TMPDIRS if r not in live), None)
+        if oldest is None:
+            break
         import shutil
 
-        shutil.rmtree(_REPLAY_TMPDIRS.pop(0), ignore_errors=True)
+        _REPLAY_TMPDIRS.remove(oldest)
+        shutil.rmtree(oldest, ignore_errors=True)
     tbl = TranscriptTable(spark, f"{root}/tbl", n_buckets=8)
     app = ChangeApplier(tbl)
     lo, hi = log.agg(F.min("lsn"), F.max("lsn")).first()

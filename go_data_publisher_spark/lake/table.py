@@ -689,18 +689,24 @@ class TranscriptTable:
         fixed at construction, so results are memoized (bounded) — under
         point-lookup traffic the probe job runs once per DISTINCT key, not
         per request."""
+        # thread-safety (the /row route serves from a ThreadingHTTPServer):
+        # single GIL-atomic dict reads/writes only, and the return value is
+        # a LOCAL — never re-read after a point where another thread's
+        # capacity clear() could have emptied the dict
         memo = getattr(self, "_bucket_memo", None)
         if memo is None:
             memo = self._bucket_memo = {}
-        if key_value in memo:
-            return memo[key_value]
+        cached = memo.get(key_value)
+        if cached is not None:
+            return cached
         row = self.spark.createDataFrame(
             [(key_value,)], T.StructType([self.schema[self.key[0]]])
         ).select(bucket_expr(self.key[0], self.n_buckets).alias("b")).first()
+        b = int(row["b"])
         if len(memo) >= self._BUCKET_MEMO_MAX:
             memo.clear()
-        memo[key_value] = int(row["b"])
-        return memo[key_value]
+        memo[key_value] = b
+        return b
 
     def lookup(self, key_value, second=None, version: int | None = None) -> DataFrame:
         """S2/S3 point lookup served from the table: all committed rows for

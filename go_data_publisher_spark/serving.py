@@ -301,11 +301,12 @@ class ReportServer:
             return body
 
     def _lineage_totals(self, force: bool = False) -> dict | None:
-        """TTL-cached ``lineage_raw_totals`` shared by /report and /metrics:
-        at most ONE lineage aggregation per window regardless of which
-        endpoint triggers it, and both endpoints read the same numbers.
-        ``force`` bypasses the freshness check (still refreshing the shared
-        cache) — used by the report build for document coherence."""
+        """TTL-cached ``lineage_raw_totals`` shared by /report and /metrics.
+        Scrapes are served from the cache (at most one aggregation per
+        window on the /metrics path); a REPORT build always recomputes
+        (``force=True``) for document coherence, refreshing the shared
+        cache as it does — so a window with both a scrape and a report
+        build runs up to two aggregations, bounded by the report TTL."""
         import time
 
         if not (self.lineage_dir and os.path.isdir(self.lineage_dir)):
