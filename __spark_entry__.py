@@ -250,15 +250,27 @@ SQL_GAP_DETECTION = """
 
 
 def q_range_join(spark, sf_dir):
+    """Q3's containment count in the BROADCAST regime (intervals fit one
+    machine — the reference's epoch dimension).  r7 optimization: the
+    broadcast nested-loop join enumerated ~events × intervals pairs (~145M
+    at sf0.1, 3.2s) only to count them per event; the count is two binary
+    searches against sorted boundary arrays
+    (operators/sequencing.py:interval_contain_count_sorted — same driver
+    residency class as the F.broadcast(intervals) it replaces, guide §4.2
+    vectorized-native + §2.4 shuffle removal).  Output identical (oracle
+    SQL unchanged, hash-verified): per event, the number of containing
+    intervals — event_id is the unique LSN, the same uniqueness the stab
+    twin's per-row form already relies on."""
     ev = _t(spark, sf_dir, "events")
     intervals = Q.group_intervals(ev, ["user_id"], "event_id").select(
         F.col("user_id").alias("iv_user"), "from_lsn", "to_lsn"
     )
-    joined = ev.join(
-        F.broadcast(intervals),
-        (ev.event_id >= intervals.from_lsn) & (ev.event_id <= intervals.to_lsn),
+    counted = Q.interval_contain_count_sorted(
+        ev.select("event_id"), intervals, lsn_col="event_id"
     )
-    return joined.groupBy("event_id").agg(F.count(F.lit(1)).alias("n_containing"))
+    return counted.where(F.col("n_containing") > 0).select(
+        "event_id", "n_containing"
+    )
 
 
 SQL_RANGE_JOIN = """
@@ -273,22 +285,33 @@ SQL_RANGE_JOIN = """
 def q_range_join_chunked(spark, sf_dir):
     """Q3 at web scale: the same range-containment aggregate as
     `range_join`, planned as a chunked shuffled equi-join instead of a
-    broadcast nested loop (operators/sequencing.py:range_join_chunked) —
-    the shape that survives an intervals side too large to broadcast.
+    broadcast (operators/sequencing.py:range_count_chunked; the join-shaped
+    general operator remains range_join_chunked) — the shape that survives
+    an intervals side too large to broadcast.
 
     Cost note (measured by the sf1 gate, r6): this benchmark's per-user
     intervals span ~97% of the log, so the matching-pair count is ~events
-    × intervals and EVERY pair-enumerating plan — this one and the BNLJ —
-    is O(pairs) by data shape.  For the count aggregate the pair-free
-    sweep twin (`range_join_stab`) is the shape to run at 100 TB."""
+    × intervals and every pair-ENUMERATING plan is O(pairs) by data shape.
+    r7 optimization: for the COUNT those pairs are redundant wherever an
+    interval fully covers an event's chunk — the full-cover/boundary
+    decomposition (operators/sequencing.py:range_count_chunked) keeps this
+    entry's identity (chunked shuffled equi-join, no broadcast, no driver
+    residency) while only boundary chunks (≤ 2 per interval) still
+    equi-join events, removing the superlinear term the sf1 gate flagged
+    (r6: 46.7s at 10×).  Output identical (oracle SQL unchanged,
+    hash-verified); ``n_events`` restores join multiplicity exactly."""
     ev = _t(spark, sf_dir, "events")
     intervals = Q.group_intervals(ev, ["user_id"], "event_id").select(
         F.col("user_id").alias("iv_user"), "from_lsn", "to_lsn"
     )
-    joined = Q.range_join_chunked(
-        ev, intervals, lsn_col="event_id", chunk=1024, how="inner"
+    counted = Q.range_count_chunked(
+        ev.select("event_id"), intervals, lsn_col="event_id", chunk=1024
     )
-    return joined.groupBy("event_id").agg(F.count(F.lit(1)).alias("n_containing"))
+    return counted.where(F.col("n_containing") > 0).select(
+        "event_id",
+        (F.col("n_events") * F.col("n_containing")).cast("long")
+        .alias("n_containing"),
+    )
 
 
 SQL_RANGE_JOIN_CHUNKED = SQL_RANGE_JOIN
@@ -816,9 +839,16 @@ def q_docs_curated(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     sampled = deterministic_sample(docs, 0.5, "doc_id")
-    filtered = sampled.where(TX.whitespace_token_count(F.col("text")) >= 20)
+    # compute the token count ONCE and carry it as a long (r7): the quality
+    # floor and the output column previously each re-ran split(trim(text))
+    # — a ~n_tokens string-array allocation per row per evaluation — on
+    # opposite sides of the quota machinery, beyond codegen subexpression
+    # elimination's single-projection reach
+    with_nt = sampled.withColumn(
+        "__nt", TX.whitespace_token_count(F.col("text")).cast("long"))
+    filtered = with_nt.where(F.col("__nt") >= 20)
     return quota_per_group(filtered, ["lang"], quota=30, key_col="doc_id").select(
-        "doc_id", "lang", TX.whitespace_token_count(F.col("text")).cast("long").alias("n_tokens")
+        "doc_id", "lang", F.col("__nt").alias("n_tokens")
     )
 
 

@@ -833,7 +833,12 @@ class TranscriptTable:
             for f in target_schema.fields
         ]
         changes = changes.select(*proj, "op")
-        if not deduped:
+        # r7: fuse the in-batch last-wins dedup into the bucket shuffle when
+        # this merge owns the dedup (see the fused branch below).  The
+        # overlap guard needs the winners BEFORE the write job, so it keeps
+        # the standalone dedup.
+        fuse_dedup = (not deduped) and self.overlap_guard is None
+        if not deduped and not fuse_dedup:
             from ..operators.dedup import last_wins
 
             changes = last_wins(changes, key=self.key, order=(self.order_col,))
@@ -850,18 +855,7 @@ class TranscriptTable:
             F.raise_error(F.lit(f"merge: null {self.key[0]} key — route or "
                                 "quarantine invalid rows before merging")),
         ).otherwise(bucket_expr(self.key[0], self.n_buckets))
-        changes = (
-            changes.withColumn("__bucket", null_guard.cast("int"))
-            # delete marker as a NULLABLE data column (1 for tombstones, NULL
-            # otherwise): the parquet footer's per-column null counts then
-            # yield the exact upsert/delete split with zero extra reads, so
-            # the commit writes ONE file per touched bucket instead of the
-            # round-4 partitionBy-(bucket, is-delete) pair (which doubled the
-            # per-commit file count and the footer-read fan-out — the 3.81×
-            # 16→256-bucket commit growth in BENCH_r04)
-            .withColumn("__del", F.when(F.col("op") == "D", F.lit(1)).cast("int"))
-            .withColumn("__seq", F.lit(seq).cast("long"))
-        )
+        changes = changes.withColumn("__bucket", null_guard.cast("int"))
 
         # Delta write: one output dir per commit, partitioned by bucket, one
         # writer task per bucket → ONE file per touched bucket per commit
@@ -889,8 +883,47 @@ class TranscriptTable:
         else:
             par = self.spark.sparkContext.defaultParallelism
             n_write_tasks = min(self.n_buckets, max(1, par) * 2)
-        (changes.repartition(n_write_tasks, "__bucket")
-                .write.mode("overwrite").option("parquet.block.size", 16 << 20)
+        changes = changes.repartition(n_write_tasks, "__bucket")
+        if fuse_dedup:
+            # FUSED in-batch last-wins (r7, guide §2.4): __bucket is a pure
+            # function of key[0], so hash-partitioning on __bucket already
+            # clusters every (key) group into one task — Catalyst recognizes
+            # HashPartitioning(__bucket) ⊆ ClusteredDistribution(__bucket,
+            # *key) and the groupBy below adds NO second exchange.  The old
+            # shape paid two full shuffles per microbatch (dedup groupBy on
+            # the key, then the bucket repartition); measured at merge batch
+            # sizes the key-side partial aggregation collapsed almost
+            # nothing (rows-per-map-partition ≪ distinct keys), so this
+            # moves the same bytes once instead of twice.  Winners are
+            # identical: max_by over the same (order_col, op-rank) key
+            # within the same groups (adding __bucket to the grouping is a
+            # no-op — it is functionally dependent on key[0]).  Hot-key
+            # protection note: a skewed key now concentrates in its bucket's
+            # task — exactly where the bucketed WRITE had to place it
+            # anyway; the salted applier path keeps the two-phase spread.
+            from ..operators.dedup import op_rank
+
+            payload = F.struct(*[F.col(c) for c in changes.columns])
+            order_key = F.struct(F.col(self.order_col),
+                                 op_rank().alias("__op_rank"))
+            changes = (
+                changes.groupBy("__bucket", *self.key)
+                .agg(F.max_by(payload, order_key).alias("__win"))
+                .select("__win.*")
+            )
+        changes = (
+            # delete marker as a NULLABLE data column (1 for tombstones, NULL
+            # otherwise): the parquet footer's per-column null counts then
+            # yield the exact upsert/delete split with zero extra reads, so
+            # the commit writes ONE file per touched bucket instead of the
+            # round-4 partitionBy-(bucket, is-delete) pair (which doubled the
+            # per-commit file count and the footer-read fan-out — the 3.81×
+            # 16→256-bucket commit growth in BENCH_r04)
+            changes
+            .withColumn("__del", F.when(F.col("op") == "D", F.lit(1)).cast("int"))
+            .withColumn("__seq", F.lit(seq).cast("long"))
+        )
+        (changes.write.mode("overwrite").option("parquet.block.size", 16 << 20)
                 .partitionBy("__bucket").parquet(out_dir))
 
         # Enumerate written files and derive lineage counters from parquet

@@ -54,7 +54,19 @@ def last_wins_salted(
     """
     payload = F.struct(*[c for c in df.columns])
     order_key = F.struct(*[F.col(c) for c in order], op_rank().alias("__op_rank"))
-    salted = df.withColumn("__salt", F.pmod(F.xxhash64(*[F.col(c) for c in order]), F.lit(n_salts)))
+    # Salt mixes the SOURCE PARTITION ID with the order columns (r7, from the
+    # r6 advisor): exact at-least-once redeliveries share their order values,
+    # so an order-only hash sent every duplicate of a hot row to ONE reducer —
+    # defeating the spread in precisely the duplicate-heavy case this twin
+    # exists for.  spark_partition_id varies across the source partitions the
+    # duplicates arrive in, and is deterministic under task retry (a re-run
+    # map task keeps its partition id — unlike rand(), SPARK-38388), so the
+    # repartition stays retry-consistent.  The final winner is independent of
+    # salt assignment (phase 2 re-reduces), so results are unchanged.
+    salted = df.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(F.spark_partition_id(),
+                          *[F.col(c) for c in order]), F.lit(n_salts)))
     partial = (
         salted.repartition(*[F.col(c) for c in key], F.col("__salt"))
         .groupBy(*key, "__salt")

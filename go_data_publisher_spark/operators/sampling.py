@@ -75,7 +75,7 @@ def deterministic_sample(df: DataFrame, fraction: float, key_col: str,
 
 def _quota_split(df: DataFrame, group_cols: list, quota: int, key_col: str,
                  salt: str, prefix_len: int):
-    """(keep_all, boundary_ranked) halves of the exact quota selection.
+    """The exact quota selection, one branch (r7 — see quota_per_group).
 
     Phase 1 — histogram: count rows per (group, first ``prefix_len`` hex
     chars of the hash).  A map-side-partial hash aggregate producing at most
@@ -83,12 +83,16 @@ def _quota_split(df: DataFrame, group_cols: list, quota: int, key_col: str,
     prefix buckets (``__below``) is a window over those ≤16^prefix_len
     count rows per group — trivially small.
 
-    Phase 2 — route each row by its bucket's position vs the quota:
-    ``__below + __c <= quota`` → the whole bucket is within the quota (no
-    ranking needed); ``__below >= quota`` → the whole bucket is out; the one
-    straddling bucket per group gets an exact ``row_number`` window whose
-    per-group working set is that bucket only (expected
-    group_size/16^prefix_len rows), offset by ``__below``.
+    Phase 2 — drop whole buckets already past the quota
+    (``__below >= quota``), rank the survivors *within their (group,
+    prefix) bucket* (never the whole group: the per-task working set is one
+    bucket, expected group_size/16^prefix_len rows), and keep a row iff
+    ``__below + rank <= quota``.  For a bucket wholly inside the quota
+    (``__below + count <= quota``) every rank qualifies — identical to
+    keeping the bucket outright; for the one straddling bucket the rank
+    cuts exactly at the quota — identical to the previous dedicated
+    boundary window.  One branch instead of a keep-all ∪ boundary union
+    that re-derived the histogram/join subtree twice (guide §2.4).
 
     The join of rows to bucket counts keys on (group, prefix), so even its
     shuffle splits a skewed group 16^prefix_len ways.
@@ -115,15 +119,12 @@ def _quota_split(df: DataFrame, group_cols: list, quota: int, key_col: str,
         cond = cond & F.col(c).eqNullSafe(F.col(f"__g_{c}"))
     joined = rows.join(counts, on=cond, how="inner") \
         .drop("__g_qpfx", *[f"__g_{c}" for c in group_cols])
-    keep_all = joined.where(F.col("__below") + F.col("__c") <= quota)
-    wb = Window.partitionBy(*group_cols).orderBy("__qh")
-    boundary = (
-        joined.where((F.col("__below") < quota)
-                     & (F.col("__below") + F.col("__c") > quota))
+    wb = Window.partitionBy(*group_cols, "__qpfx").orderBy("__qh")
+    return (
+        joined.where(F.col("__below") < quota)
         .withColumn("__rn", F.row_number().over(wb))
         .where(F.col("__rn") + F.col("__below") <= quota)
     )
-    return keep_all, boundary
 
 
 def quota_per_group(df: DataFrame, group_cols, quota: int, key_col: str,
@@ -144,5 +145,5 @@ def quota_per_group(df: DataFrame, group_cols, quota: int, key_col: str,
         raise ValueError("quota must be >= 0")
     group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
     out_cols = df.columns
-    keep_all, boundary = _quota_split(df, group_cols, quota, key_col, salt, prefix_len)
-    return keep_all.select(*out_cols).unionByName(boundary.select(*out_cols))
+    kept = _quota_split(df, group_cols, quota, key_col, salt, prefix_len)
+    return kept.select(*out_cols)

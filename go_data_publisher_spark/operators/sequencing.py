@@ -94,6 +94,140 @@ def range_join_chunked(events: DataFrame, intervals: DataFrame, lsn_col="lsn",
     return ev.join(iv, cond, how).drop("__e_chunk", "__i_chunk")
 
 
+def interval_contain_count_sorted(events: DataFrame, intervals: DataFrame,
+                                  lsn_col: str = "lsn",
+                                  lo_col: str = "from_lsn",
+                                  hi_col: str = "to_lsn") -> DataFrame:
+    """Q3's per-event containment COUNT for the BROADCAST regime — sorted
+    boundary arrays + vectorized binary search, zero pair enumeration.
+
+    `epoch_for_lsn` broadcasts the interval side and nested-loops every
+    (event, interval) pair — O(events × intervals) comparisons even when the
+    caller only wants the count (bench r6: ~145M pair evaluations at sf0.1).
+    The count needs none of those pairs: with interval lower bounds and
+    upper bounds each in a sorted array,
+
+        n_containing(e) = #{lo <= e} − #{hi < e}
+
+    which is two binary searches per event — O(events · log intervals).
+    The interval side is materialized on the driver exactly like
+    ``F.broadcast(intervals)`` would be (same memory class, same
+    applicability condition: the intervals fit one machine), sorted once
+    with numpy, and shipped to executors in the UDF closure; events flow
+    through one Arrow-vectorized ``searchsorted`` per batch (guide §4.2 —
+    whole batches to native code).  Beyond broadcast scale use
+    `range_count_chunked` (shuffled, no driver residency) or
+    `interval_stab_count` (distributed sweep).
+
+    Malformed intervals (null bounds, lo > hi) contain nothing and are
+    dropped before sorting — the subtraction identity requires lo <= hi.
+    NULL event positions satisfy no BETWEEN predicate and get count 0.
+    Returns the event rows plus ``n_containing`` (0 when uncontained, like
+    `interval_stab_count` — filter > 0 for inner-join semantics).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    rows = (
+        intervals.where(
+            F.col(lo_col).isNotNull() & F.col(hi_col).isNotNull()
+            & (F.col(lo_col) <= F.col(hi_col)))
+        .select(F.col(lo_col).cast("long"), F.col(hi_col).cast("long"))
+        .collect()
+    )
+    los = np.sort(np.fromiter((r[0] for r in rows), dtype=np.int64, count=len(rows)))
+    his = np.sort(np.fromiter((r[1] for r in rows), dtype=np.int64, count=len(rows)))
+
+    @pandas_udf("long")
+    def _n_containing(e):
+        mask = e.notna().to_numpy()
+        x = e[mask].to_numpy(dtype=np.int64)
+        out = np.zeros(len(e), dtype=np.int64)
+        out[mask] = (np.searchsorted(los, x, side="right")
+                     - np.searchsorted(his, x, side="left"))
+        return pd.Series(out)
+
+    return events.withColumn(
+        "n_containing", _n_containing(F.col(lsn_col).cast("long")))
+
+
+def range_count_chunked(events: DataFrame, intervals: DataFrame,
+                        lsn_col: str = "lsn", lo_col: str = "from_lsn",
+                        hi_col: str = "to_lsn", chunk: int = 1 << 16) -> DataFrame:
+    """Q3's per-event containment COUNT as a chunked shuffled equi-join —
+    `range_join_chunked`'s plan family (no broadcast, no driver residency)
+    with the O(pairs) term removed for the count aggregate.
+
+    `range_join_chunked` + groupBy enumerates every matching pair, which on
+    dense-overlap data (intervals spanning most of the log) approaches
+    events × intervals no matter how the join is planned — the superlinear
+    sf1 finding of r6.  For the COUNT, pairs with intervals that FULLY cover
+    an event's chunk are redundant: every event in chunk c is contained, so
+    one count per (chunk, full-cover) suffices.  Decomposition:
+
+      1. explode intervals to overlapped chunk ids (as range_join_chunked);
+      2. intervals fully covering a chunk (lo <= c·chunk and
+         hi >= (c+1)·chunk − 1) reduce to one ``n_full`` count per chunk —
+         O(intervals · span/chunk) rows, no event involvement;
+      3. only BOUNDARY overlaps (≤ 2 chunks per interval) equi-join events
+         on chunk id with the exact containment filter — O(boundary pairs),
+         bounded by 2 · intervals · events-per-chunk;
+      4. per event value: n_containing = n_full(chunk) + n_boundary(event).
+
+    Events are pre-grouped by position (``n_events`` per distinct value), so
+    callers needing join-multiplicity semantics multiply by ``n_events``.
+    Returns one row per distinct non-null event position:
+    (lsn_col, n_events, n_containing), n_containing possibly 0.
+    """
+    def _chunk_of(col):
+        return F.floor(col / F.lit(int(chunk))).cast("long")
+
+    ev_vals = (
+        events.where(F.col(lsn_col).isNotNull())
+        .groupBy(F.col(lsn_col).cast("long").alias(lsn_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .withColumn("__c", _chunk_of(F.col(lsn_col)))
+    )
+    iv = intervals.where(
+        F.col(lo_col).isNotNull() & F.col(hi_col).isNotNull()
+        & (F.col(lo_col) <= F.col(hi_col)))
+    ivc = iv.select(
+        F.col(lo_col).cast("long").alias("__lo"),
+        F.col(hi_col).cast("long").alias("__hi"),
+    ).withColumn(
+        "__c", F.explode(F.sequence(_chunk_of(F.col("__lo")),
+                                    _chunk_of(F.col("__hi")))),
+    )
+    full = (F.col("__lo") <= F.col("__c") * chunk) & \
+           (F.col("__hi") >= (F.col("__c") + 1) * chunk - 1)
+    full_counts = (ivc.where(full).groupBy("__c")
+                   .agg(F.count(F.lit(1)).alias("__n_full")))
+    partial = ivc.where(~full).select(
+        F.col("__c").alias("__pc"), "__lo", "__hi")
+    boundary_counts = (
+        ev_vals.join(
+            partial,
+            (F.col("__c") == F.col("__pc"))
+            & (F.col(lsn_col) >= F.col("__lo"))
+            & (F.col(lsn_col) <= F.col("__hi")),
+        )
+        .groupBy(lsn_col)
+        .agg(F.count(F.lit(1)).alias("__n_boundary"))
+    )
+    return (
+        ev_vals.join(full_counts, on="__c", how="left")
+        .join(boundary_counts, on=lsn_col, how="left")
+        .select(
+            lsn_col,
+            "n_events",
+            (F.coalesce(F.col("__n_full"), F.lit(0))
+             + F.coalesce(F.col("__n_boundary"), F.lit(0)))
+            .cast("long").alias("n_containing"),
+        )
+    )
+
+
 def interval_stab_count(events: DataFrame, intervals: DataFrame,
                         lsn_col: str = "lsn", lo_col: str = "from_lsn",
                         hi_col: str = "to_lsn", n_parts: int = 256) -> DataFrame:

@@ -150,9 +150,25 @@ def minhash_signatures(df: DataFrame, id_col="doc_id", text_col="text",
     Hash family i = xxhash64(shingle_hash, seed=i) over the 8-byte shingle
     hash (not the shingle string — each text byte is scanned once total, and
     the per-family work is a fixed-width hash of one long);
+    signature[i] = min over the doc's shingles.
+
+    Hash family i = xxhash64(shingle_hash, seed=i) over the 8-byte shingle
+    hash (not the shingle string — each text byte is scanned once total, and
+    the per-family work is a fixed-width hash of one long);
     signature[i] = min over the doc's shingles.  Shape: explode shingle
     hashes once, then ``n_hashes`` min aggregations in one hash-aggregate —
     map-side partial mins, so hot documents never concentrate.
+
+    r7 note (measured, rejected): a map-only form — one transform hashing
+    each shingle into its 16 family values folded by aggregate/zip_with —
+    removes this subtree's Exchange but runs ~10× SLOWER end-to-end:
+    higher-order functions are evaluated interpreted (no whole-stage
+    codegen), so 32M lambda invocations + a 16-long array allocation per
+    shingle replace a codegen'd aggregate.  (A sibling-lambda variant
+    ``array(array_min(transform(sh, h -> xxhash64(h, i))) for i)`` is
+    outright WRONG on Spark 4.1 — the sibling lambdas resolve to one shared
+    expression and every family returns the same value.)  The explode +
+    groupBy aggregate stays.
     """
     exploded = df.select(
         F.col(id_col).alias("id"), F.explode(_shingle_hashes(text_col, k)).alias("sh")

@@ -12,14 +12,24 @@ def set_difference(a: DataFrame, b: DataFrame, on) -> DataFrame:
     """V1: symmetric set difference over key columns.
 
     Reference: archiver-vs-ES tx-hash set diff (status-service/util/set.go:
-    21-37).  Two anti-joins; each side shuffles once on the key.
+    21-37).  One full-outer join of the two distinct key sets with presence
+    markers; keys present on exactly one side survive.  (r7 optimization —
+    guide §2.4: the previous two-anti-join form instantiated EACH side's
+    distinct subtree twice — 4 scans, 4 distinct aggregates, 2 joins — for
+    the identical output; this form scans and distincts each side once.)
     """
     on = list(on)
-    only_a = a.select(*on).distinct().join(b.select(*on).distinct(), on=on, how="left_anti") \
-              .withColumn("side", F.lit("only_left"))
-    only_b = b.select(*on).distinct().join(a.select(*on).distinct(), on=on, how="left_anti") \
-              .withColumn("side", F.lit("only_right"))
-    return only_a.unionByName(only_b)
+    da = a.select(*on).distinct().withColumn("__l", F.lit(1))
+    db = b.select(*on).distinct().withColumn("__r", F.lit(1))
+    return (
+        da.join(db, on=on, how="full_outer")
+        .where(F.col("__l").isNull() | F.col("__r").isNull())
+        .select(
+            *on,
+            F.when(F.col("__r").isNull(), F.lit("only_left"))
+            .otherwise(F.lit("only_right")).alias("side"),
+        )
+    )
 
 
 def rows_mismatching(a: DataFrame, b: DataFrame, key, compare_cols) -> DataFrame:

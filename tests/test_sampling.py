@@ -118,22 +118,28 @@ def test_quota_two_phase_equals_naive_window(spark):
         assert got == want, f"quota={quota}"
 
 
-def test_quota_boundary_bucket_is_small(spark):
-    """Scale evidence: only the straddling hash-prefix bucket per group is
-    ranked — the window's working set is ~group_size/16^prefix_len, never
-    the whole group."""
+def test_quota_rank_window_is_bucket_partitioned(spark):
+    """Scale evidence (r7 single-branch form): the rank window partitions by
+    (group, hash-prefix bucket), so its per-task working set is
+    ~group_size/16^prefix_len — never the whole group — and whole buckets
+    past the quota are filtered out before ranking."""
+    import re
+
     from go_data_publisher_spark.operators.sampling import _quota_split
 
     df = spark.createDataFrame([(i, "en") for i in range(20_000)],
                                "id long, grp string")
-    keep_all, boundary = _quota_split(df, ["grp"], 50, "id", "", 2)
-    assert boundary.count() <= 50  # post-rank winners from the one boundary bucket
-    # the ranked window's input is one prefix bucket; the largest bucket in
-    # the whole group is far below the group size
-    n_boundary = df.withColumn("__qh", F.md5(F.col("id").cast("string"))) \
+    kept = _quota_split(df, ["grp"], 50, "id", "", 2)
+    assert kept.count() == 50
+    # the window spec must include the prefix bucket in its partition keys
+    opt = kept._jdf.queryExecution().optimizedPlan().toString()
+    m = re.search(r"row_number\(\) windowspecdefinition\((.*?)__qh", opt)
+    assert m is not None and "__qpfx" in m.group(1), opt
+    # no prefix bucket is close to the group size, so no task ranks a group
+    n_biggest = df.withColumn("__qh", F.md5(F.col("id").cast("string"))) \
         .withColumn("__qpfx", F.substring("__qh", 1, 2)) \
         .groupBy("__qpfx").count().agg(F.max("count")).first()[0]
-    assert n_boundary < 20_000 / 64  # no prefix bucket close to the group size
+    assert n_biggest < 20_000 / 64
     # and the composed result is still exactly the quota
     out = quota_per_group(df, "grp", 50, "id", prefix_len=2)
     assert out.count() == 50
