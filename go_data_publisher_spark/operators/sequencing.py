@@ -148,6 +148,14 @@ def interval_contain_count_sorted(events: DataFrame, intervals: DataFrame,
                      - np.searchsorted(his, x, side="left"))
         return pd.Series(out)
 
+    # asNondeterministic (guide §4.4): a caller filtering on the returned
+    # column (`where n_containing > 0`) otherwise gets the pushed-down
+    # filter AND the projection each evaluating the UDF — two
+    # ArrowEvalPython nodes and double the Arrow round trips (observed in
+    # the r7 before/after plans).  The function IS deterministic; the flag
+    # only stops the optimizer duplicating it.
+    _n_containing = _n_containing.asNondeterministic()
+
     return events.withColumn(
         "n_containing", _n_containing(F.col(lsn_col).cast("long")))
 

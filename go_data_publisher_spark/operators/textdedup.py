@@ -112,8 +112,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col="doc_id", text_col="text",
 # ---------------------------------------------------------------------------
 
 def _shingle_hashes(text_col: str, k: int = 3):
-    """64-bit hashes of word k-shingles, deduped per doc — WITHOUT ever
-    materializing shingle strings.
+    """64-bit hashes of word k-shingles (multiset — see the note below) —
+    WITHOUT ever materializing shingle strings.
 
     Each word is hashed once (xxhash64 over its bytes); a shingle hash is
     xxhash64 over the k fixed-width word hashes.  Versus building
@@ -130,16 +130,19 @@ def _shingle_hashes(text_col: str, k: int = 3):
     wh = F.transform(words, lambda w: F.xxhash64(w))
     n = F.size(wh)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return F.array_distinct(
-        F.transform(
-            idx,
-            # try_element_at is 1-based and yields null past the end (docs
-            # shorter than k words) — plain element_at THROWS under Spark 4's
-            # default ANSI mode; xxhash64 skips the nulls
-            lambda i: F.xxhash64(
-                *[F.try_element_at(wh, (i + j + 1).cast("int")) for j in range(k)]
-            ),
-        )
+    # NOT array_distinct'd (r7): the only consumer is minhash_signatures,
+    # whose per-family min is identical over a multiset and its set — the
+    # distinct pass was a pure per-doc hash-set allocation on the hot path.
+    # (The string-side `_shingles` verify keeps ITS array_distinct: exact
+    # Jaccard is set arithmetic and duplicates would change it.)
+    return F.transform(
+        idx,
+        # try_element_at is 1-based and yields null past the end (docs
+        # shorter than k words) — plain element_at THROWS under Spark 4's
+        # default ANSI mode; xxhash64 skips the nulls
+        lambda i: F.xxhash64(
+            *[F.try_element_at(wh, (i + j + 1).cast("int")) for j in range(k)]
+        ),
     )
 
 
