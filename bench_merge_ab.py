@@ -1,14 +1,19 @@
 #!/usr/bin/env python
-"""Same-session A/B of the merge write pipeline (r7 evidence):
+"""Same-session A/B harness used for the r7 merge-fusion EXPERIMENT.
 
-  A (old shape): standalone last_wins dedup (exchange on key) → merge with
-     deduped=True (second exchange on bucket) — the r6 two-shuffle path.
-  B (fused):     merge with deduped=False → single bucket exchange with the
-     dedup folded into it (table.py fuse_dedup).
+Historical note: when this was written, merge(deduped=False) folded the
+in-batch dedup into the bucket repartition (single exchange).  The
+experiment's verdict — fused wins single large batches but loses the
+chunked headline replay 2-3× to bucket-hash collision skew (guide §2.5;
+see OPTIMIZATION_r07.md §3) — led to REVERTING the fusion, so today both
+modes plan the same two-shuffle pipeline:
 
-Also A/Bs the delta-file parquet codec when SPARK_GRAFT_DELTA_CODEC is set.
-Runs both against identical data in one JVM, interleaved, best-of-N, with a
-mini host probe per leg so a degraded sample is attributable.
+  A: standalone last_wins dedup (exchange on key) → merge(deduped=True)
+     (second exchange on bucket);
+  B: merge(deduped=False) → the same last_wins inside merge().
+
+Kept as the measurement tool (interleaved best-of-N with a mini host probe
+per leg, plus a snapshot-equality check) for any future write-path change.
 """
 
 from __future__ import annotations

@@ -833,12 +833,7 @@ class TranscriptTable:
             for f in target_schema.fields
         ]
         changes = changes.select(*proj, "op")
-        # r7: fuse the in-batch last-wins dedup into the bucket shuffle when
-        # this merge owns the dedup (see the fused branch below).  The
-        # overlap guard needs the winners BEFORE the write job, so it keeps
-        # the standalone dedup.
-        fuse_dedup = (not deduped) and self.overlap_guard is None
-        if not deduped and not fuse_dedup:
+        if not deduped:
             from ..operators.dedup import last_wins
 
             changes = last_wins(changes, key=self.key, order=(self.order_col,))
@@ -883,34 +878,20 @@ class TranscriptTable:
         else:
             par = self.spark.sparkContext.defaultParallelism
             n_write_tasks = min(self.n_buckets, max(1, par) * 2)
+        # NOTE (r7, measured and kept two-phase): fusing the in-batch
+        # last-wins into this bucket repartition (repartition by __bucket,
+        # then groupBy(__bucket, *key) — legal, since HashPartitioning on
+        # __bucket ⊆ ClusteredDistribution(__bucket, *key), and
+        # value-identical) removes one exchange but REGRESSED 1M-row chunks
+        # 1.6-3× in same-session A/B: hashing n_buckets coarse ids into
+        # ~n_buckets partitions leaves ~1/e of tasks empty and gives others
+        # 2-3 buckets (guide §2.5, too-few-distinct-values skew), so the
+        # fused plan concentrated the ENTIRE shuffle-read + aggregate +
+        # parquet write onto the skewed exchange.  The two-phase shape keeps
+        # the heavy aggregate on the fine-grained (key) exchange — uniform —
+        # and routes only the skinny winner rows through the coarse,
+        # inherently skewed bucket exchange.
         changes = changes.repartition(n_write_tasks, "__bucket")
-        if fuse_dedup:
-            # FUSED in-batch last-wins (r7, guide §2.4): __bucket is a pure
-            # function of key[0], so hash-partitioning on __bucket already
-            # clusters every (key) group into one task — Catalyst recognizes
-            # HashPartitioning(__bucket) ⊆ ClusteredDistribution(__bucket,
-            # *key) and the groupBy below adds NO second exchange.  The old
-            # shape paid two full shuffles per microbatch (dedup groupBy on
-            # the key, then the bucket repartition); measured at merge batch
-            # sizes the key-side partial aggregation collapsed almost
-            # nothing (rows-per-map-partition ≪ distinct keys), so this
-            # moves the same bytes once instead of twice.  Winners are
-            # identical: max_by over the same (order_col, op-rank) key
-            # within the same groups (adding __bucket to the grouping is a
-            # no-op — it is functionally dependent on key[0]).  Hot-key
-            # protection note: a skewed key now concentrates in its bucket's
-            # task — exactly where the bucketed WRITE had to place it
-            # anyway; the salted applier path keeps the two-phase spread.
-            from ..operators.dedup import op_rank
-
-            payload = F.struct(*[F.col(c) for c in changes.columns])
-            order_key = F.struct(F.col(self.order_col),
-                                 op_rank().alias("__op_rank"))
-            changes = (
-                changes.groupBy("__bucket", *self.key)
-                .agg(F.max_by(payload, order_key).alias("__win"))
-                .select("__win.*")
-            )
         changes = (
             # delete marker as a NULLABLE data column (1 for tombstones, NULL
             # otherwise): the parquet footer's per-column null counts then

@@ -124,6 +124,14 @@ def interval_contain_count_sorted(events: DataFrame, intervals: DataFrame,
     NULL event positions satisfy no BETWEEN predicate and get count 0.
     Returns the event rows plus ``n_containing`` (0 when uncontained, like
     `interval_stab_count` — filter > 0 for inner-join semantics).
+
+    Snapshot semantics caveat: the interval side is collected EAGERLY at
+    call time (one Spark job during composition) and frozen into the UDF
+    closure — re-executing the returned DataFrame after the intervals
+    source changed keeps the OLD boundaries, where a re-executed broadcast
+    join would re-read.  Compose-and-run pipelines (the contract queries,
+    the bench) rebuild the frame per run; long-lived handles over mutable
+    sources should use `range_count_chunked` or `interval_stab_count`.
     """
     import numpy as np
     import pandas as pd
@@ -188,8 +196,23 @@ def range_count_chunked(events: DataFrame, intervals: DataFrame,
     Returns one row per distinct non-null event position:
     (lsn_col, n_events, n_containing), n_containing possibly 0.
     """
-    def _chunk_of(col):
-        return F.floor(col / F.lit(int(chunk))).cast("long")
+    chunk = int(chunk)
+    if chunk & (chunk - 1) == 0:
+        # power-of-two chunk: arithmetic right shift is an EXACT 64-bit
+        # floor division — the double-precision floor(col/chunk) mis-chunks
+        # positions above 2^53, and unlike the join-shaped operator (whose
+        # exact BETWEEN filter merely drops a mis-chunked pair) the
+        # full-cover counts here have no per-event re-check, so a
+        # mis-chunked event would OVERCOUNT (r7 review finding)
+        shift = chunk.bit_length() - 1
+
+        def _chunk_of(col):
+            return F.shiftright(col.cast("long"), shift).cast("long")
+    else:
+        # non-power-of-two chunks share range_join_chunked's double-floor
+        # domain: exact for |position| < 2^53 (every reference LSN space)
+        def _chunk_of(col):
+            return F.floor(col / F.lit(chunk)).cast("long")
 
     ev_vals = (
         events.where(F.col(lsn_col).isNotNull())

@@ -153,11 +153,6 @@ def minhash_signatures(df: DataFrame, id_col="doc_id", text_col="text",
     Hash family i = xxhash64(shingle_hash, seed=i) over the 8-byte shingle
     hash (not the shingle string — each text byte is scanned once total, and
     the per-family work is a fixed-width hash of one long);
-    signature[i] = min over the doc's shingles.
-
-    Hash family i = xxhash64(shingle_hash, seed=i) over the 8-byte shingle
-    hash (not the shingle string — each text byte is scanned once total, and
-    the per-family work is a fixed-width hash of one long);
     signature[i] = min over the doc's shingles.  Shape: explode shingle
     hashes once, then ``n_hashes`` min aggregations in one hash-aggregate —
     map-side partial mins, so hot documents never concentrate.

@@ -269,18 +269,9 @@ class ChangeApplier:
             self.retry.run(lambda: self.ephemeral_table.evolve_schema(batch_schema))
         target_schema = self.table.schema
 
-        # r7: the default path hands merge() the raw valid rows and lets it
-        # FUSE the in-batch last-wins into the bucket shuffle (one exchange
-        # per microbatch instead of two — table.py:merge, fuse_dedup).  The
-        # salted path keeps its explicit two-phase spread, and the routing
-        # path needs the winners materialized before the split.
-        if self.salted:
-            dedup, pre_deduped = last_wins_salted(
-                valid, key=key, order=order, n_salts=self.n_salts), True
-        elif self.route_sql is not None:
-            dedup, pre_deduped = last_wins(valid, key=key, order=order), True
-        else:
-            dedup, pre_deduped = valid, False
+        dedup = last_wins_salted(valid, key=key, order=order,
+                                 n_salts=self.n_salts) if self.salted \
+            else last_wins(valid, key=key, order=order)
 
         # project winners into target schema + op (lsn records the applied
         # version; columns missing from an old-schema batch become null)
@@ -309,8 +300,7 @@ class ChangeApplier:
             finally:
                 changes.unpersist()
         else:
-            stats = self._merge_sink(self.table, changes, epoch_id,
-                                     deduped=pre_deduped)
+            stats = self._merge_sink(self.table, changes, epoch_id)
         per_bucket = stats.pop("per_bucket", [])
 
         try:
@@ -344,7 +334,7 @@ class ChangeApplier:
         return stats
 
     def _merge_sink(self, tbl: TranscriptTable, changes: DataFrame,
-                    epoch_id: int, deduped: bool = True) -> dict:
+                    epoch_id: int) -> dict:
         """Retry-wrapped merge with a DEGRADE ladder: when the full-width
         write keeps failing retriably even after the backoff budget, retry
         at progressively lower write parallelism (half, quarter, ..., serial)
@@ -356,7 +346,7 @@ class ChangeApplier:
         at every width.  Each attempt is a fresh commit dir, so abandoned
         attempts are vacuum-collected orphans — never a partial commit."""
         def attempt(wp=None):
-            return tbl.merge(changes, epoch_id=epoch_id, deduped=deduped,
+            return tbl.merge(changes, epoch_id=epoch_id, deduped=True,
                              writer_id=self.writer_id, write_parallelism=wp)
 
         try:
