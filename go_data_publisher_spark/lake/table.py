@@ -76,6 +76,70 @@ def bucket_expr(conv_col: str, n_buckets: int):
     return F.pmod(F.xxhash64(F.col(conv_col)), F.lit(n_buckets)).cast("int")
 
 
+# --- balanced write partitioning -------------------------------------------
+#
+# ``repartition(n, "__bucket")`` hashes the ~n distinct bucket ids into n
+# partitions, so birthday collisions leave ~1/e of the write tasks EMPTY and
+# hand others 2-3 buckets (guide §2.5 "synthetic partitioning keys with too
+# few distinct values") — a built-in 2-3× straggler on every commit's write
+# stage, and the root cause that sank the r7 merge-fusion experiment (see the
+# NOTE in merge()).  Since the layout only requires that all rows of one
+# bucket land in ONE task (any deterministic function of __bucket does), we
+# repartition on a PREIMAGE key instead: j(b) chosen so that Spark's shuffle
+# hash sends bucket b exactly to partition b % n — perfect round-robin, one
+# bucket per task when n == n_buckets.  Pure placement device: file contents,
+# one-file-per-bucket layout and lineage are byte-identical.
+
+_MMH3_SEED = 42  # Spark's HashPartitioning seed
+_PKEY_CACHE: dict[int, list[int]] = {}
+
+
+def _mmh3_hash_int(x: int, seed: int = _MMH3_SEED) -> int:
+    """Murmur3_x86_32 of one 4-byte int block — byte-for-byte the hash
+    HashPartitioning applies to an IntegerType repartition column (same as
+    ``F.hash`` on an int).  Pinned against F.hash in
+    tests/test_balanced_write.py; a mismatch would only cost balance, never
+    correctness (placement is still a pure function of __bucket)."""
+    m = 0xFFFFFFFF
+    k = (x & m) * 0xCC9E2D51 & m
+    k = ((k << 15) | (k >> 17)) & m
+    k = k * 0x1B873593 & m
+    h = (seed ^ k) & m
+    h = ((h << 13) | (h >> 19)) & m
+    h = (h * 5 + 0xE6546B64) & m
+    h ^= 4  # total byte length
+    h ^= h >> 16
+    h = h * 0x85EBCA6B & m
+    h ^= h >> 13
+    h = h * 0xC2B2AE35 & m
+    h ^= h >> 16
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def _balanced_pkeys(n_parts: int) -> list[int]:
+    """First int j per residue p with hash(j) ≡ p (mod n_parts); memoized.
+    Coupon-collector search, ~n·ln n probes (≈1.5k for 256 parts, once)."""
+    got = _PKEY_CACHE.get(n_parts)
+    if got is None:
+        found: dict[int, int] = {}
+        j = 0
+        while len(found) < n_parts:
+            p = _mmh3_hash_int(j) % n_parts
+            if p not in found:
+                found[p] = j
+            j += 1
+        got = [found[p] for p in range(n_parts)]
+        _PKEY_CACHE[n_parts] = got
+    return got
+
+
+def balanced_write_pkey(bucket_col, n_parts: int):
+    """Column j(__bucket) whose shuffle hash places bucket b in partition
+    b % n_parts — exact round-robin over the write tasks."""
+    arr = F.array(*[F.lit(j) for j in _balanced_pkeys(n_parts)])
+    return F.element_at(arr, F.pmod(bucket_col, F.lit(n_parts)).cast("int") + 1)
+
+
 def _footer_stats(path: str, order_col: str, del_col: str | None = None):
     """(num_rows, min(order_col), max(order_col), n_deletes) from the parquet
     footer — no data pages read.  Order-col stats fall back to (None, None)
@@ -833,7 +897,23 @@ class TranscriptTable:
             for f in target_schema.fields
         ]
         changes = changes.select(*proj, "op")
-        if not deduped:
+        # r7: when this merge owns the dedup, FUSE the in-batch last-wins
+        # into the (balanced) bucket shuffle — one exchange per microbatch
+        # instead of two.  A first fusion attempt lost the chunk-replay A/B
+        # 2-3× to bucket-hash collision skew and was reverted; with the
+        # balanced pkey placement (one bucket per task, see
+        # balanced_write_pkey) the same fusion wins every interleaved rep of
+        # the headline 4×1M replay by 15-25% (plans/r07/fused_ab_run{1,2}
+        # .json; full-row snapshot equality verified in-session both times).
+        # The overlap guard needs the winners BEFORE the write job, so it
+        # keeps the standalone dedup.  SPARK_GRAFT_MERGE_FUSED=0 restores
+        # the two-phase shape for diagnosis/A-B.
+        fuse_dedup = (
+            (not deduped)
+            and self.overlap_guard is None
+            and os.environ.get("SPARK_GRAFT_MERGE_FUSED", "1") != "0"
+        )
+        if not deduped and not fuse_dedup:
             from ..operators.dedup import last_wins
 
             changes = last_wins(changes, key=self.key, order=(self.order_col,))
@@ -878,20 +958,53 @@ class TranscriptTable:
         else:
             par = self.spark.sparkContext.defaultParallelism
             n_write_tasks = min(self.n_buckets, max(1, par) * 2)
-        # NOTE (r7, measured and kept two-phase): fusing the in-batch
-        # last-wins into this bucket repartition (repartition by __bucket,
-        # then groupBy(__bucket, *key) — legal, since HashPartitioning on
-        # __bucket ⊆ ClusteredDistribution(__bucket, *key), and
-        # value-identical) removes one exchange but REGRESSED 1M-row chunks
-        # 1.6-3× in same-session A/B: hashing n_buckets coarse ids into
-        # ~n_buckets partitions leaves ~1/e of tasks empty and gives others
+        # NOTE (r7 history): a first fusion attempt over the RAW bucket hash
+        # regressed 1M-row chunks 1.6-3× — hashing n_buckets coarse ids into
+        # ~n_buckets partitions leaves ~1/e of tasks empty and hands others
         # 2-3 buckets (guide §2.5, too-few-distinct-values skew), so the
-        # fused plan concentrated the ENTIRE shuffle-read + aggregate +
-        # parquet write onto the skewed exchange.  The two-phase shape keeps
-        # the heavy aggregate on the fine-grained (key) exchange — uniform —
-        # and routes only the skinny winner rows through the coarse,
-        # inherently skewed bucket exchange.
-        changes = changes.repartition(n_write_tasks, "__bucket")
+        # fused plan concentrated the whole shuffle-read + aggregate +
+        # parquet write on a skewed exchange, and the round briefly kept the
+        # two-phase shape.  The balanced pkey placement below removed that
+        # skew (exactly one bucket per write task), after which the SAME
+        # fusion won every interleaved chunk-replay rep by 15-25% — so
+        # fused-over-balanced is now the default (fuse_dedup above).
+        # Balanced placement (r7): repartition on the hash-preimage key, not
+        # __bucket itself — see balanced_write_pkey.  Env-disableable for
+        # A/B (SPARK_GRAFT_BALANCED_WRITE=0 restores the raw bucket hash).
+        balanced = os.environ.get("SPARK_GRAFT_BALANCED_WRITE", "1") != "0"
+        if balanced:
+            changes = (
+                changes
+                .withColumn("__pkey",
+                            balanced_write_pkey(F.col("__bucket"), n_write_tasks))
+                .repartition(n_write_tasks, "__pkey")
+            )
+        else:
+            changes = changes.repartition(n_write_tasks, "__bucket")
+        if fuse_dedup:
+            # FUSED in-batch last-wins (guide §2.4): placement is a pure
+            # function of key[0], so the write repartition already clusters
+            # every key group into one task; grouping by the partition key
+            # itself (plus __bucket — functionally dependent, a no-op for
+            # the groups) lets Catalyst prove the distribution is satisfied
+            # and plan NO second exchange.  Winners are identical to
+            # last_wins: max_by over the same (order_col, op-rank) within
+            # the same key groups.
+            from ..operators.dedup import op_rank
+
+            payload = F.struct(*[F.col(c) for c in changes.columns
+                                 if c != "__pkey"])
+            order_key = F.struct(F.col(self.order_col),
+                                 op_rank().alias("__op_rank"))
+            group_cols = (["__pkey"] if balanced else []) + \
+                ["__bucket", *self.key]
+            changes = (
+                changes.groupBy(*group_cols)
+                .agg(F.max_by(payload, order_key).alias("__win"))
+                .select("__win.*")
+            )
+        elif balanced:
+            changes = changes.drop("__pkey")
         changes = (
             # delete marker as a NULLABLE data column (1 for tombstones, NULL
             # otherwise): the parquet footer's per-column null counts then
@@ -1157,8 +1270,12 @@ class TranscriptTable:
         )
         commit_id = uuid.uuid4().hex[:12]
         out_dir = f"{self.root}/data/commit={commit_id}"
-        df.repartition(self.n_buckets, "__bucket").write.mode("overwrite") \
-          .partitionBy("__bucket").parquet(out_dir)
+        # Same balanced placement as merge(): one bucket per writer task
+        # instead of the collision-skewed raw bucket hash.
+        df = (df.withColumn("__pkey",
+                            balanced_write_pkey(F.col("__bucket"), self.n_buckets))
+                .repartition(self.n_buckets, "__pkey").drop("__pkey"))
+        df.write.mode("overwrite").partitionBy("__bucket").parquet(out_dir)
         sid = int(m["current_schema_id"])
         # per-bucket fold high watermark: the newest change version this base
         # absorbs — changes() uses it to raise ONLY when a requested window

@@ -29,6 +29,7 @@ leaves only orphan files that vacuum() collects — never a double commit.
 
 from __future__ import annotations
 
+import os
 import random
 import time
 from dataclasses import dataclass, field
@@ -269,9 +270,20 @@ class ChangeApplier:
             self.retry.run(lambda: self.ephemeral_table.evolve_schema(batch_schema))
         target_schema = self.table.schema
 
-        dedup = last_wins_salted(valid, key=key, order=order,
-                                 n_salts=self.n_salts) if self.salted \
-            else last_wins(valid, key=key, order=order)
+        # Fused-dedup default (r7): hand merge() the raw valid rows and let
+        # it fold the in-batch last-wins into the balanced bucket shuffle —
+        # one exchange per microbatch instead of two (table.py:merge,
+        # fuse_dedup; A/B evidence in plans/r07/fused_ab_run{1,2}.json).
+        # The salted path keeps its explicit two-phase spread, and the
+        # routing path needs the winners materialized before the split.
+        fuse = os.environ.get("SPARK_GRAFT_MERGE_FUSED", "1") != "0"
+        if self.salted:
+            dedup, pre_deduped = last_wins_salted(
+                valid, key=key, order=order, n_salts=self.n_salts), True
+        elif self.route_sql is not None or not fuse:
+            dedup, pre_deduped = last_wins(valid, key=key, order=order), True
+        else:
+            dedup, pre_deduped = valid, False
 
         # project winners into target schema + op (lsn records the applied
         # version; columns missing from an old-schema batch become null)
@@ -300,7 +312,8 @@ class ChangeApplier:
             finally:
                 changes.unpersist()
         else:
-            stats = self._merge_sink(self.table, changes, epoch_id)
+            stats = self._merge_sink(self.table, changes, epoch_id,
+                                     deduped=pre_deduped)
         per_bucket = stats.pop("per_bucket", [])
 
         try:
@@ -334,7 +347,7 @@ class ChangeApplier:
         return stats
 
     def _merge_sink(self, tbl: TranscriptTable, changes: DataFrame,
-                    epoch_id: int) -> dict:
+                    epoch_id: int, deduped: bool = True) -> dict:
         """Retry-wrapped merge with a DEGRADE ladder: when the full-width
         write keeps failing retriably even after the backoff budget, retry
         at progressively lower write parallelism (half, quarter, ..., serial)
@@ -346,7 +359,7 @@ class ChangeApplier:
         at every width.  Each attempt is a fresh commit dir, so abandoned
         attempts are vacuum-collected orphans — never a partial commit."""
         def attempt(wp=None):
-            return tbl.merge(changes, epoch_id=epoch_id, deduped=True,
+            return tbl.merge(changes, epoch_id=epoch_id, deduped=deduped,
                              writer_id=self.writer_id, write_parallelism=wp)
 
         try:
