@@ -84,6 +84,40 @@ def test_fused_equals_two_phase(spark, tmpdir_path, monkeypatch):
     assert a.count() == b.count() > 0
 
 
+def test_fused_write_plan_single_exchange(spark, tmpdir_path, monkeypatch):
+    """Pin the fused merge's core claim: dedup + bucket placement share ONE
+    exchange.  Captures the REAL DataFrame merge() hands to the parquet
+    writer (no replica drift) by intercepting DataFrameWriter.parquet."""
+    import pyspark.sql.readwriter as rw
+    from go_data_publisher_spark.sources.changelog import generate_changelog
+
+    captured = []
+    real_parquet = rw.DataFrameWriter.parquet
+
+    def spy(self, path, **kw):
+        captured.append(self._df)
+        return real_parquet(self, path, **kw)
+
+    monkeypatch.setenv("SPARK_GRAFT_MERGE_FUSED", "1")
+    monkeypatch.setattr(rw.DataFrameWriter, "parquet", spy)
+    tbl = TranscriptTable(spark, tmpdir_path, n_buckets=8)
+    log = generate_changelog(spark, 5_000, n_convs=60, seed=3) \
+        .where("conv_id is not null and turn_idx is not null")
+    tbl.merge(log.drop("schema_version"), epoch_id=0)
+
+    assert captured, "merge wrote nothing"
+    import re
+
+    plan = captured[-1]._sc._jvm.PythonSQLUtils.explainString(
+        captured[-1]._jdf.queryExecution(), "formatted")
+    # count operator DETAIL entries ("(n) Exchange"), not raw substring hits
+    # (formatted output names each node twice: once in the tree, once in the
+    # numbered details)
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchanges == 1, f"fused write planned {n_exchanges} exchanges:\n{plan}"
+    assert "max_by" in plan, "fused dedup aggregate missing from the write plan"
+
+
 def test_merge_layout_one_file_per_bucket(spark, tmpdir_path):
     """End to end: a merge commit still writes exactly one delta file per
     touched bucket with the balanced placement on."""
