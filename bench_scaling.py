@@ -416,6 +416,29 @@ def write_bench_md(cache: dict) -> None:
             f"| **{r['window_s'] / r['maxby_s']:.1f}×** |"
             for r in skew["shares"]
         )
+        worst = max(skew["shares"], key=lambda r: r["window_s"] / r["maxby_s"])
+        worst_ratio = worst["window_s"] / worst["maxby_s"]
+        if worst_ratio >= 1.5:
+            contrast_md = f"""- At the {int(worst['hot_share'] * 100)}% share the skew story appears: the
+  row_number window pays the straggler (every duplicate of the hot key
+  shuffles to ONE reducer and sorts there — a {worst['hot_key_events']:,}-row
+  single-task sort, window ÷ max_by {worst_ratio:.1f}×), while
+  `last_wins`'s map-side partial max_by gets FASTER with more skew:
+  duplicates collapse to one row per input partition before the shuffle,
+  so the shuffle shrinks as the hot share grows."""
+        else:
+            contrast_md = f"""- In THIS measurement window the window/max_by gap stays within
+  {worst_ratio:.1f}× at every share: at {n_ev:,} events the hot key's
+  single-reducer sort ({worst['hot_key_events']:,} rows) costs no more
+  than the parallel scan floor, so the straggler does not dominate at this
+  scale on this host.  The structural asymmetry is unchanged — the window
+  form funnels every duplicate of the hot key through one task (work grows
+  with the hot share), while max_by's map-side partial aggregation
+  collapses duplicates per input partition BEFORE the shuffle (shuffle
+  shrinks as the hot share grows) — it just needs a larger hot-key row
+  count than this run's to dominate wall time (a degraded-window round-5
+  run at the same shape measured 2.5× at the 50% share when the box
+  amplified the single-task sort)."""
         skew_md = f"""One (conv_id, turn_idx) key carries the hot share of all {n_ev:,}
 events (max_turns=1, single hot conversation — the reference's per-tick
 fan-out shape, transactions-producer/domain/processor.go:157-165).  The
@@ -427,15 +450,10 @@ three D4 dedup formulations, best of 2 on local[32]:
 
 Reading the measurements honestly:
 
-- At 10% hot share the parquet scan (~8.5s for {n_ev:,} wide rows)
-  dominates all three forms — skew differences are invisible below that
-  floor on this host.
-- At 50% the skew story appears: the row_number window pays the straggler
-  (every duplicate of the hot key shuffles to ONE reducer and sorts there —
-  a {max(r['hot_key_events'] for r in skew['shares']):,}-row single-task
-  sort), while `last_wins`'s map-side partial max_by gets FASTER with more
-  skew: duplicates collapse to one row per input partition before the
-  shuffle, so the shuffle shrinks as the hot share grows.
+- At 10% hot share the parquet scan of {n_ev:,} wide rows dominates all
+  three forms — skew differences are invisible below that floor on this
+  host.
+{contrast_md}
 - The explicit salted two-phase is NOT a win here — it pays a full-width
   repartition of the raw rows that partial aggregation makes unnecessary.
   It exists (and is measured, and kept) for the case that defeats partial
